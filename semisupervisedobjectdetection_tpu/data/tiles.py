@@ -1,0 +1,103 @@
+"""Host-side tile dataset: decode, watermark-crop, id-parsing.
+
+Reproduces the semantics of the reference loader
+(`archaeological_georgia_biostyle_dataloader.py`):
+
+- glob `*.png` in the data dir; files whose basename contains 'mask' are
+  skipped; basenames longer than 8 chars are labeled ids (strip the
+  'bing.png' suffix), shorter ones mark the directory as unlabeled
+  (strip '.png') — ref `:42-48`.
+- image = `{id}bing.png` (labeled) / `{id}.png` (unlabeled), with the
+  bottom 23-pixel Bing watermark strip removed and alpha dropped — ref
+  `:59-60`. Book scans crop 75 px (ref `:66`) — supported via `book=True`.
+- mask = `{maskdir}/{id}bing_mask.png`, channel 0, watermark-cropped — ref
+  `:62-63,85`.
+
+TPU-first difference: instead of returning ragged arrays to a torch-style
+collate, decoded tiles are resized on host to a fixed uint8 canvas
+(`DataConfig.canvas`) so batches have static shapes and the randomized crop/
+flip/normalize runs fused on device (`data/augment.py`).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+BING_WATERMARK_PX = 23
+BOOK_WATERMARK_PX = 75
+
+
+def list_tile_ids(data_dir: str) -> Tuple[List[str], bool]:
+    """Return (ids, unlabeled) following the reference's basename-length
+    heuristic (`archaeological_georgia_biostyle_dataloader.py:42-48`)."""
+    ids: List[str] = []
+    unlabeled = False
+    for fp in sorted(glob.glob(os.path.join(data_dir, "*.png"))):
+        name = os.path.basename(fp)
+        if "mask" in name:
+            continue
+        if len(name) > 8:
+            ids.append(name[:-8])       # strip 'bing.png'
+        else:
+            ids.append(name[:-4])       # strip '.png'
+            unlabeled = True
+    return ids, unlabeled
+
+
+def _decode_rgb(path: str, watermark_px: int) -> np.ndarray:
+    img = np.asarray(Image.open(path))
+    if img.ndim == 2:  # greyscale book scans -> 3 channels (ref `:72-77`)
+        img = np.stack([img] * 3, axis=-1)
+    img = img[:-watermark_px, :, 0:3]
+    return np.ascontiguousarray(img)
+
+
+def _resize_u8(img: np.ndarray, hw: Tuple[int, int],
+               nearest: bool = False) -> np.ndarray:
+    pil = Image.fromarray(img)
+    resample = Image.NEAREST if nearest else Image.BILINEAR
+    return np.asarray(pil.resize((hw[1], hw[0]), resample))
+
+
+class TileDataset:
+    """Fixed-canvas tile dataset (images uint8 HWC, masks uint8 HW)."""
+
+    def __init__(self, data_dir: str, mask_dir: Optional[str] = None,
+                 canvas: int = 512, has_mask: bool = True,
+                 book: bool = False):
+        self.data_dir = data_dir
+        self.mask_dir = mask_dir
+        self.canvas = canvas
+        self.has_mask = has_mask and mask_dir is not None
+        self.book = book
+        self.ids, self.unlabeled = list_tile_ids(data_dir)
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def image_path(self, idx: int) -> str:
+        file_id = self.ids[idx]
+        name = f"{file_id}.png" if self.unlabeled else f"{file_id}bing.png"
+        return os.path.join(self.data_dir, name)
+
+    def mask_path(self, idx: int) -> str:
+        return os.path.join(self.mask_dir, f"{self.ids[idx]}bing_mask.png")
+
+    def __getitem__(self, idx: int):
+        wm = BOOK_WATERMARK_PX if self.book else BING_WATERMARK_PX
+        img = _decode_rgb(self.image_path(idx), wm)
+        img = _resize_u8(img, (self.canvas, self.canvas))
+        mask = None
+        if self.has_mask:
+            m = np.asarray(Image.open(self.mask_path(idx)))
+            if m.ndim == 3:
+                m = m[:-wm, :, 0]       # channel 0 (ref `:85`)
+            else:
+                m = m[:-wm, :]
+            mask = _resize_u8(m, (self.canvas, self.canvas), nearest=True)
+        return img, mask

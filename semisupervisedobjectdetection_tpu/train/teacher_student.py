@@ -1,0 +1,166 @@
+"""Teacher-student semi-supervised workload as two jitted steps.
+
+Rebuilds `main_segformer/segFormer_semi_teacherstudent_main.py` (call stack
+in SURVEY.md §3.2) TPU-first: each reference phase becomes ONE compiled
+step — teacher forward, confidence thresholding, loss and optimizer update
+all fused; no host round-trips inside the epoch loop.
+
+Phase A (`:80-97`): teacher predicts soft masks on an unlabeled batch,
+confidence-gated pseudo-label dice loss, teacher self-training update only
+on every 4th epoch (`:89-90` — here a traced `update_teacher` gate).
+
+Phase B (`:99-129`): with label denoising (default), the teacher's
+prediction is blended with the ground truth, re-thresholded, and the teacher
+trains on dice(orig_pred, denoised); the student trains on
+  supervise_weight * dice(student, GT)
+  + (1-supervise_weight) * dice(student, teacher_mask).
+
+NOTE: the reference is NOT mean-teacher/EMA — the teacher takes its own
+gradient steps, with an optional hard copy-from-student every 5 epochs
+(`:202-204`, `reset_teacher`); `copy_student_to_teacher` provides that.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from semisupervisedobjectdetection_tpu.core.config import MiTConfig
+from semisupervisedobjectdetection_tpu import losses
+from semisupervisedobjectdetection_tpu.train import pseudo
+from semisupervisedobjectdetection_tpu.train.common import forward_masks
+from semisupervisedobjectdetection_tpu.train.state import TrainState
+
+Array = jax.Array
+
+
+class PseudoStepOut(NamedTuple):
+    teacher_state: TrainState
+    loss: Array           # teacher pseudo loss (NaN when no sample kept)
+    n_kept: Array         # images used this batch
+    pseudo_mask: Array
+    keep: Array
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "threshold",
+                                             "confident_threshold"),
+                   donate_argnames=("teacher_state",))
+def pseudo_label_step(teacher_state: TrainState, images: Array,
+                      update_teacher: Array, cfg: MiTConfig,
+                      threshold: float = pseudo.PSEUDO_MASK_THRESHOLD,
+                      confident_threshold: float =
+                      pseudo.CONFIDENT_THRESHOLD) -> PseudoStepOut:
+    """Phase A: pseudo-label an unlabeled batch; optionally self-train the
+    teacher on the confident samples (`:80-97`)."""
+
+    def loss_fn(params):
+        variables = {"params": params}
+        if teacher_state.batch_stats:
+            variables["batch_stats"] = teacher_state.batch_stats
+        soft, _, _ = forward_masks(cfg, variables, images, train_mode=False)
+        labels = pseudo.threshold_pseudo_masks(
+            soft, threshold, confident_threshold, allow_throw_sample=True)
+        return labels.loss, labels
+
+    (loss, labels), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        teacher_state.params)
+    new_state = teacher_state.apply_gradients(grads, loss,
+                                              enable=update_teacher)
+    return PseudoStepOut(new_state, loss, labels.n_kept,
+                         labels.pseudo_mask, labels.keep)
+
+
+class LabeledStepOut(NamedTuple):
+    teacher_state: TrainState
+    student_state: TrainState
+    student_loss_total: Array
+    teacher_loss: Array
+    student_sup_loss: Array
+    self_supervise_loss: Array
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "denoise_label",
+                                             "threshold"),
+                   donate_argnames=("teacher_state", "student_state"))
+def labeled_step(teacher_state: TrainState, student_state: TrainState,
+                 images: Array, ground_truth: Array,
+                 supervise_weight: Array, cfg: MiTConfig,
+                 denoise_label: bool = True,
+                 threshold: float = pseudo.PSEUDO_MASK_THRESHOLD
+                 ) -> LabeledStepOut:
+    """Phase B: one labeled batch updates BOTH models (`:99-129`)."""
+
+    def t_variables(params):
+        v = {"params": params}
+        if teacher_state.batch_stats:
+            v["batch_stats"] = teacher_state.batch_stats
+        return v
+
+    if denoise_label:
+        def teacher_loss_fn(params):
+            orig, _, _ = forward_masks(cfg, t_variables(params), images,
+                                       train_mode=False)
+            denoised = pseudo.denoise_labels(
+                jax.lax.stop_gradient(orig), ground_truth, threshold)
+            # dice(orig_pred, denoised_mask) (`:117`)
+            loss = losses.dice_loss(orig, denoised)
+            return loss, denoised
+
+        (teacher_loss, teacher_mask), t_grads = jax.value_and_grad(
+            teacher_loss_fn, has_aux=True)(teacher_state.params)
+    else:
+        def teacher_loss_fn(params):
+            pred, _, _ = forward_masks(cfg, t_variables(params), images,
+                                       train_mode=False)
+            # plain supervised teacher update (`:105`), teacher mask for the
+            # student is its own prediction under stop-grad (`:107-108`)
+            loss = losses.dice_loss(pred, ground_truth)
+            return loss, jax.lax.stop_gradient(pred)
+
+        (teacher_loss, teacher_mask), t_grads = jax.value_and_grad(
+            teacher_loss_fn, has_aux=True)(teacher_state.params)
+
+    teacher_state = teacher_state.apply_gradients(t_grads, teacher_loss)
+
+    def student_loss_fn(params):
+        v = {"params": params}
+        if student_state.batch_stats:
+            v["batch_stats"] = student_state.batch_stats
+        pred, _, _ = forward_masks(cfg, v, images, train_mode=False)
+        sup = losses.dice_loss(pred, ground_truth)
+        self_sup = losses.dice_loss(pred, teacher_mask)
+        total = supervise_weight * sup + (1.0 - supervise_weight) * self_sup
+        return total, (sup, self_sup)
+
+    (total, (sup, self_sup)), s_grads = jax.value_and_grad(
+        student_loss_fn, has_aux=True)(student_state.params)
+    student_state = student_state.apply_gradients(s_grads, total)
+
+    return LabeledStepOut(teacher_state, student_state, total, teacher_loss,
+                          sup, self_sup)
+
+
+def copy_student_to_teacher(teacher_state: TrainState,
+                            student_state: TrainState) -> TrainState:
+    """Hard teacher reset from the student every 5 epochs when enabled
+    (`segFormer_semi_teacherstudent_main.py:202-204`). Optimizer state is
+    kept (the reference only copies the state_dict, not Adam moments).
+    Leaves are deep-copied — torch `load_state_dict` copies data, and the
+    two states must not alias buffers (both are donated per step)."""
+    return teacher_state.replace(
+        params=jax.tree.map(jnp.copy, student_state.params),
+        batch_stats=jax.tree.map(jnp.copy, student_state.batch_stats))
+
+
+def ema_update(teacher_state: TrainState, student_state: TrainState,
+               decay: float = 0.999) -> TrainState:
+    """Mean-teacher EMA update — a build-side addition the reference lacks
+    (its teacher trains by gradient); offered because the driver's north-star
+    names an 'EMA teacher-student' loop (BASELINE.json)."""
+    new_params = jax.tree.map(
+        lambda t, s: decay * t + (1.0 - decay) * s,
+        teacher_state.params, student_state.params)
+    return teacher_state.replace(params=new_params)
