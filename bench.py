@@ -1,0 +1,129 @@
+"""Benchmark: teacher-student semi-supervised step throughput on TPU.
+
+Measures images/sec/chip for the flagship workload — one semi-supervised
+"step" = teacher pseudo-label step on an unlabeled batch + the combined
+teacher/student labeled step — with MiT-B5 at 512x512 in bf16, the driver's
+north-star metric (BASELINE.json: images/sec/chip at 512x512).
+
+Baseline for vs_baseline: the reference records 0.86 eval batches/sec for
+the teacher-student checkpoint on its CUDA GPU with Linux batch 20
+(`main_segformer/segFormer_main.py:175`, `config.py:39`) — 17.2 images/sec,
+and training steps are strictly slower than eval, so 17.2 is a generous
+stand-in for the reference's per-chip throughput.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_IMAGES_PER_SEC = 17.2
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true",
+                        help="tiny config smoke run (CPU-safe)")
+    parser.add_argument("--batch", type=int, default=0,
+                        help="per-phase batch size (0 = auto)")
+    parser.add_argument("--iters", type=int, default=8)
+    parser.add_argument("--size", type=int, default=0)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from semisupervisedobjectdetection_tpu.core.config import (
+        TrainConfig,
+        mit_b0,
+        mit_b5,
+    )
+    from semisupervisedobjectdetection_tpu.models.segformer import SegFormer
+    from semisupervisedobjectdetection_tpu.train.state import TrainState
+    from semisupervisedobjectdetection_tpu.train.teacher_student import (
+        labeled_step,
+        pseudo_label_step,
+    )
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+
+    if args.quick or not on_tpu:
+        cfg = mit_b0(depths=(1, 1, 1, 1), hidden_sizes=(8, 16, 32, 64),
+                     num_heads=(1, 2, 4, 8), decoder_hidden=32,
+                     dtype="float32")
+        size = args.size or 128
+        batch = args.batch or 2
+        iters = min(args.iters, 3)
+    else:
+        cfg = mit_b5(dtype="bfloat16")
+        size = args.size or 512
+        batch = args.batch or 8
+        iters = args.iters
+
+    tc = TrainConfig()
+    model = SegFormer(cfg)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0, 1, (batch, size, size, 3)),
+                         jnp.float32)
+    masks = jnp.asarray(rng.uniform(0, 1, (batch, size, size)) > 0.7,
+                        jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images[:1])
+    teacher = TrainState.create(variables, tc, lr=5e-7)
+    student = TrainState.create(variables, tc, lr=3e-5)
+
+    sup_w = jnp.asarray(0.8)
+    update_t = jnp.asarray(True)
+
+    def one_step(teacher, student):
+        out = pseudo_label_step(teacher, images, update_t, cfg)
+        lout = labeled_step(out.teacher_state, student, images, masks,
+                            sup_w, cfg, denoise_label=True)
+        return lout.teacher_state, lout.student_state, lout
+
+    def hard_sync(lout):
+        # NOTE: jax.block_until_ready does not reliably synchronize through
+        # the axon TPU tunnel; a device->host scalar transfer does.
+        return float(lout.student_loss_total)
+
+    # Warmup / compile
+    t0 = time.time()
+    teacher, student, lout = one_step(teacher, student)
+    hard_sync(lout)
+    compile_s = time.time() - t0
+
+    times = []
+    inner = 5
+    for _ in range(max(2, iters // 2)):
+        t0 = time.time()
+        for _ in range(inner):
+            teacher, student, lout = one_step(teacher, student)
+        hard_sync(lout)
+        times.append((time.time() - t0) / inner)
+
+    step_s = float(np.median(times))
+    images_per_step = 2 * batch  # unlabeled + labeled phases
+    ips = images_per_step / step_s
+
+    print(json.dumps({
+        "metric": "teacher-student semi-supervised step, MiT-B5 512x512 "
+                  "bf16" if on_tpu and not args.quick else
+                  "teacher-student semi-supervised step (quick/cpu config)",
+        "value": round(ips, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / REFERENCE_IMAGES_PER_SEC, 3),
+    }))
+    print(f"# platform={platform} batch={batch} size={size} "
+          f"step_s={step_s:.4f} compile_s={compile_s:.1f} "
+          f"times={['%.3f' % t for t in times]}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

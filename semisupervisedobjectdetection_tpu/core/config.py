@@ -51,6 +51,11 @@ class MiTConfig:
     # always stored in float32.
     dtype: str = "float32"
 
+    # Rematerialization policy for the scanned encoder blocks: trades FLOPs
+    # for HBM so MiT-B5 @ 512x512 fits large batches on a 16G v5e chip.
+    # "none" | "full" (save nothing) | "dots" (save matmul outputs).
+    remat: str = "full"
+
     @property
     def num_stages(self) -> int:
         return len(self.depths)

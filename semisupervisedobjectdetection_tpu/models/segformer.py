@@ -339,8 +339,16 @@ class MiTEncoder(nn.Module):
             stage_dprs = jnp.asarray(dprs[cur:cur + depth], dtype=dtype)
             cur += depth
 
+            block_cls = Block
+            if cfg.remat == "full":
+                block_cls = nn.remat(Block, prevent_cse=False)
+            elif cfg.remat == "dots":
+                block_cls = nn.remat(
+                    Block, prevent_cse=False,
+                    policy=jax.checkpoint_policies.
+                    dots_with_no_batch_dims_saveable)
             ScannedBlock = nn.scan(
-                Block,
+                block_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True,
                             "droppath": True},
