@@ -1,0 +1,298 @@
+"""Reference-surface API: a `SegFormerModel` class mirroring the reference's
+`models/SegFormerModel.py` public methods on top of the jitted TPU steps.
+
+Method-for-method parity (reference `models/SegFormerModel.py`):
+  predict / train_one_epoch / eval_one_epoch / scheduler_step /
+  frozen_encoder / unfroze_encoder / add_prompt_token / add_cls_token /
+  train_one_epoch_without_mask / eval_one_epoch_without_mask / show_mask /
+  save / load.
+
+Design deltas (all documented):
+- `train_from_loss` does not exist standalone: on TPU the loss and update
+  fuse into one compiled step (loss graphs can't cross the jit boundary);
+  every `train_one_epoch*` method already applies the update.
+- prompt/CLS tokens are REAL parameters. With
+  `TrainConfig.reference_quirks=True` (default) they are masked out of the
+  optimizer, reproducing the reference's untrained-prompt quirk
+  (SURVEY.md §2.4); set reference_quirks=False to actually train them.
+- `frozen_encoder`/`add_prompt_token`/`add_cls_token` rebuild the optimizer
+  (fresh Adam moments). The reference calls them before training starts, so
+  this is observationally identical in every reference workflow.
+- show_mask writes a PNG overlay (red channel := mask, like the reference's
+  visdom panel at `SegFormerModel.py:167-175`) instead of HTTP-posting to a
+  visdom server.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semisupervisedobjectdetection_tpu.core.config import (
+    MiTConfig,
+    TrainConfig,
+    mit_b5,
+)
+from semisupervisedobjectdetection_tpu.models.segformer import SegFormer
+from semisupervisedobjectdetection_tpu.train import state as state_lib
+from semisupervisedobjectdetection_tpu.train import (
+    autoencoder as ae_steps,
+)
+from semisupervisedobjectdetection_tpu.train import supervised as sup_steps
+from semisupervisedobjectdetection_tpu.train.state import TrainState
+
+
+def _to_nhwc(img: np.ndarray) -> np.ndarray:
+    """Accept NHWC or (reference-style) NCHW float batches."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 4 and img.shape[1] == 3 and img.shape[-1] != 3:
+        img = img.transpose(0, 2, 3, 1)
+    return img
+
+
+class SegFormerModel:
+    """Drop-in-shaped replacement for the reference model wrapper."""
+
+    def __init__(self, pretrain_weight: Optional[str] = None,
+                 lr: Optional[float] = None,
+                 weight_decay: Optional[float] = None,
+                 scheduler: Optional[float] = None,
+                 num_labels: int = 1,
+                 use_dice_loss: bool = True,
+                 config: Optional[MiTConfig] = None,
+                 train_config: Optional[TrainConfig] = None,
+                 hf_weights: Optional[str] = None,
+                 seed: int = 0):
+        tc = train_config or TrainConfig()
+        if lr is not None:
+            tc = tc.replace(lr=lr)
+        if weight_decay is not None:
+            tc = tc.replace(weight_decay=weight_decay)
+        if scheduler is not None:
+            tc = tc.replace(lr_decay=scheduler)
+        self.tc = tc
+        self.cfg = (config or mit_b5()).replace(num_labels=num_labels)
+        self.num_labels = num_labels
+        self.use_dice_loss = use_dice_loss
+        self.seed = seed
+        self._frozen_stages: List[int] = []
+        self._rng = jax.random.PRNGKey(seed)
+        self._init_state()
+
+        if hf_weights:
+            self.load_hf(hf_weights)
+        if pretrain_weight:
+            self.load(pretrain_weight)
+
+    # ------------------------------------------------------------------ init
+    def _init_variables(self, cfg: MiTConfig):
+        model = SegFormer(cfg)
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        return jax.jit(model.init)(jax.random.PRNGKey(self.seed), dummy)
+
+    def _trainable_mask(self, params):
+        quirks = self.tc.reference_quirks
+        predicate = state_lib.frozen_stage_predicate(
+            self._frozen_stages, freeze_prompts=quirks, freeze_cls=quirks)
+        mask = state_lib.trainable_mask_from(params, predicate)
+        if not any(not m for m in jax.tree.leaves(mask)):
+            return None
+        return mask
+
+    def _init_state(self, keep_params=None, keep_stats=None):
+        variables = self._init_variables(self.cfg)
+        params = variables["params"]
+        stats = variables.get("batch_stats", {})
+        if keep_params is not None:
+            params = _merge_trees(params, keep_params)
+        if keep_stats is not None:
+            stats = _merge_trees(stats, keep_stats)
+        self.state = TrainState.create(
+            {"params": params, "batch_stats": stats}, self.tc,
+            trainable_mask=self._trainable_mask(params))
+
+    # -------------------------------------------------- reference surface
+    def frozen_encoder(self, layers_num: Optional[int] = None,
+                       layers: Optional[Sequence[int]] = None) -> None:
+        """Freeze encoder stages (ref `SegFormerModel.py:46-63`):
+        `layers_num=k` freezes the first k stages; `layers=[...]` freezes the
+        listed stage indices."""
+        if layers is not None:
+            self._frozen_stages = list(layers)
+        else:
+            k = layers_num if layers_num is not None else self.cfg.num_stages
+            self._frozen_stages = list(range(k))
+        self._init_state(keep_params=self.state.params,
+                         keep_stats=self.state.batch_stats)
+
+    def unfroze_encoder(self) -> None:
+        self._frozen_stages = []
+        self._init_state(keep_params=self.state.params,
+                         keep_stats=self.state.batch_stats)
+
+    def add_prompt_token(self, token_num_per_block=(10, 10, 10, 10),
+                        isSamePerLayer: bool = True) -> None:
+        """Add learnable prompt tokens per stage (ref `:69-91`)."""
+        self.cfg = self.cfg.replace(
+            prompt_tokens=tuple(token_num_per_block),
+            prompt_per_layer=not isSamePerLayer)
+        self._init_state(keep_params=self.state.params,
+                         keep_stats=self.state.batch_stats)
+
+    def add_cls_token(self, token_num_per_block=(1, 1, 1, 1)) -> None:
+        """Add per-stage domain CLS tokens (ref `:93-101`)."""
+        self.cfg = self.cfg.replace(
+            cls_tokens=tuple(token_num_per_block))
+        self._init_state(keep_params=self.state.params,
+                         keep_stats=self.state.batch_stats)
+
+    def predict(self, img, mask=None, isEval: bool = True,
+                use_loss: str = "dice", output_cls_token: bool = False):
+        """Forward + loss selection (ref `:103-139`). Returns masks, or
+        (loss, masks[, cls_token]) when a target is given."""
+        images = jnp.asarray(_to_nhwc(img))
+        pred = sup_steps.predict_step(self.state, images, self.cfg)
+        if mask is None and use_loss != "mse":
+            return np.asarray(pred)
+        from semisupervisedobjectdetection_tpu import losses as L
+
+        if use_loss == "mse":
+            # image vs raw upsampled logits (ref `:133`)
+            from semisupervisedobjectdetection_tpu.train.common import (
+                forward_logits,
+            )
+            logits, cls_list, _ = jax.jit(
+                forward_logits, static_argnames=("cfg", "train_mode"))(
+                    self.cfg, self.state.variables(), images,
+                    train_mode=False)
+            loss = L.mse_loss(images, logits,
+                              divisor=images.shape[0] * 3)
+            cls = cls_list[-1] if self.cfg.use_cls else None
+        else:
+            target = jnp.asarray(np.asarray(mask, np.float32))
+            if use_loss == "dice":
+                loss = L.dice_loss(pred, target)
+            elif use_loss == "bce":
+                loss = L.bce_with_logits_loss(
+                    jax.scipy.special.logit(jnp.clip(pred, 1e-6, 1 - 1e-6)),
+                    target)
+            else:
+                loss = L.dice_argmax_loss(pred, target)
+            cls = None
+        if output_cls_token:
+            return loss, np.asarray(pred), cls
+        return loss, np.asarray(pred)
+
+    def train_one_epoch(self, imgs, masks, use_loss: str = "dice",
+                        output_cls_token: bool = False):
+        """One fused train step on a batch (ref `:146-156`; the name matches
+        the reference, which also steps per batch)."""
+        images = jnp.asarray(_to_nhwc(imgs))
+        target = jnp.asarray(np.asarray(masks, np.float32))
+        self._rng, step_rng = jax.random.split(self._rng)
+        self.state, loss, pred = sup_steps.train_step(
+            self.state, images, target, step_rng, self.cfg,
+            loss_type=use_loss,
+            train_mode=not self.tc.reference_quirks)
+        if output_cls_token:
+            # CLS tokens of the last forward (separate pass; only used by
+            # the few-shot workload which has its own fused step)
+            return loss, np.asarray(pred), None
+        return loss, np.asarray(pred)
+
+    def eval_one_epoch(self, imgs, masks):
+        """Binarized-dice eval step (ref `:141-144`)."""
+        images = jnp.asarray(_to_nhwc(imgs))
+        target = jnp.asarray(np.asarray(masks, np.float32))
+        loss, pred = sup_steps.eval_step(self.state, images, target,
+                                         self.cfg)
+        return loss, np.asarray(pred)
+
+    def train_one_epoch_without_mask(self, imgs):
+        """Autoencoder train step: reconstruct the input (ref `:198-219`)."""
+        images = jnp.asarray(_to_nhwc(imgs))
+        self._rng, step_rng = jax.random.split(self._rng)
+        self.state, loss, recon = ae_steps.ae_train_step(
+            self.state, images, step_rng, self.cfg)
+        return loss, np.asarray(recon)
+
+    def eval_one_epoch_without_mask(self, imgs):
+        images = jnp.asarray(_to_nhwc(imgs))
+        loss, recon = ae_steps.ae_eval_step(self.state, images, self.cfg)
+        return loss, np.asarray(recon)
+
+    def scheduler_step(self) -> None:
+        """Per-epoch ExponentialLR step (ref `:164-165`)."""
+        self.state = self.state.scheduler_step()
+
+    def show_mask(self, out_path: str, img, mask=None,
+                  title: str = "") -> str:
+        """Deterministic mask dump replacing the visdom overlay
+        (ref `:167-175`): red channel := mask, saved as PNG."""
+        from PIL import Image
+
+        arr = _to_nhwc(np.asarray(img)[None])[0].copy()
+        if mask is not None:
+            arr[..., 0] = np.asarray(mask, np.float32)
+        arr = np.clip(arr * 255, 0, 255).astype(np.uint8)
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        Image.fromarray(arr).save(out_path)
+        return out_path
+
+    # ------------------------------------------------------- checkpointing
+    def save(self, path: str) -> None:
+        from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
+            save_state,
+        )
+        save_state(path, self.state)
+
+    def load(self, path: str) -> None:
+        from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
+            restore_state,
+        )
+        self.state = restore_state(path, self.state)
+        print("Pretrained model loaded")
+
+    def load_hf(self, path_or_model) -> None:
+        """Import torch SegFormer weights (file path or live HF model),
+        with the classifier-head policy of `SegFormerModel.py:21-30`."""
+        from semisupervisedobjectdetection_tpu.checkpoint.hf_import import (
+            import_hf_model,
+            import_torch_state_dict,
+            load_torch_checkpoint,
+        )
+        if isinstance(path_or_model, str):
+            sd = load_torch_checkpoint(path_or_model)
+            params, stats = import_torch_state_dict(
+                sd, self.cfg, self.state.params, self.state.batch_stats,
+                classifier_policy="slice0" if self.num_labels == 1
+                else "auto")
+        else:
+            params, stats = import_hf_model(
+                path_or_model, self.cfg, self.state.params,
+                self.state.batch_stats)
+        self.state = self.state.replace(params=params,
+                                        batch_stats=stats or
+                                        self.state.batch_stats)
+        print("Pretrained model loaded")
+
+
+def _merge_trees(fresh, old):
+    """Overlay `old` leaves onto `fresh` wherever path+shape match (used
+    when the param structure grows, e.g. add_prompt_token)."""
+    if isinstance(fresh, dict):
+        out = {}
+        for k, v in fresh.items():
+            if isinstance(old, dict) and k in old:
+                out[k] = _merge_trees(v, old[k])
+            else:
+                out[k] = v
+        return out
+    if old is not None and hasattr(old, "shape") and \
+            getattr(old, "shape", None) == getattr(fresh, "shape", None):
+        return old
+    return fresh

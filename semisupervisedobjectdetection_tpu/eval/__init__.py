@@ -1,0 +1,6 @@
+from semisupervisedobjectdetection_tpu.eval.metrics import (  # noqa: F401
+    binary_miou,
+    dice_score,
+    pixel_accuracy,
+    segmentation_metrics,
+)
