@@ -56,6 +56,11 @@ class MiTConfig:
     # "none" | "full" (save nothing) | "dots" (save matmul outputs).
     remat: str = "full"
 
+    # Attention implementation: "xla" (einsum) or "pallas" (fused VMEM
+    # softmax kernel, `ops/sr_attention.py`). Pallas path requires
+    # attention_dropout == 0 (the reference default).
+    attn_impl: str = "xla"
+
     @property
     def num_stages(self) -> int:
         return len(self.depths)

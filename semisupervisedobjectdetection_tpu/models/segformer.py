@@ -168,7 +168,14 @@ class EfficientSelfAttention(nn.Module):
         rng = None
         if self.attention_dropout > 0.0 and not deterministic:
             rng = self.make_rng("dropout")
-        if self.attn_impl == "pallas":
+        impl = self.attn_impl
+        if impl == "auto":
+            # Pallas wins when the query stream is long (stages 1-2 of a
+            # 512x512 input); XLA's fused attention is faster on the small
+            # late-stage shapes. Dropout requires the XLA path.
+            long_q = q.shape[1] >= 4096
+            impl = "pallas" if (long_q and rng is None) else "xla"
+        if impl == "pallas":
             from semisupervisedobjectdetection_tpu.ops.sr_attention import (
                 sr_attention,
             )
@@ -359,7 +366,7 @@ class MiTEncoder(nn.Module):
                 c, cfg.num_heads[i], cfg.sr_ratios[i], cfg.mlp_ratio,
                 cfg.attention_dropout, cfg.hidden_dropout,
                 cfg.layer_norm_eps, dtype, self.deterministic,
-                name=f"block_{i}")(
+                cfg.attn_impl, name=f"block_{i}")(
                     (tokens.reshape(b, h, w, c), carried),
                     (stage_dprs, prompt_per_layer, prompt_shared))
 
@@ -370,6 +377,22 @@ class MiTEncoder(nn.Module):
             hidden_states.append(x)
             cls_out.append(carried)
         return hidden_states, cls_out
+
+
+class FuseKernel(nn.Module):
+    """Holds the linear_fuse 1x1-conv kernel in the reference's layout
+    ({kernel: (1, 1, in, out)}) while exposing row slices so the fuse can
+    run per-stage at native resolution (see DecodeHead.__call__)."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self, row_start: int, rows: int, dtype) -> Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, self.in_features, self.out_features))
+        return kernel[0, 0, row_start:row_start + rows, :].astype(dtype)
 
 
 class DecodeHead(nn.Module):
@@ -386,8 +409,23 @@ class DecodeHead(nn.Module):
         cfg = self.cfg
         dtype = _dtype_of(cfg)
         d = cfg.decoder_hidden
+        n = len(hidden_states)
         target = hidden_states[0].shape[1:3]
-        feats = []
+
+        # The reference computes linear_fuse(concat(upsample(f_i)[::-1]))
+        # (ref `modeling_segformer.py:757-776`). A 1x1 conv distributes over
+        # concat and commutes with bilinear upsampling (both are linear and
+        # the conv mixes channels per-pixel), so each stage's fuse slice is
+        # applied AT ITS NATIVE RESOLUTION and the upsampled results are
+        # summed — mathematically identical with ~6x fewer fuse FLOPs (the
+        # conv runs on the 16x16..128x128 grids instead of four
+        # full-resolution 768-channel maps). The kernel is stored in the
+        # reference's conv layout {kernel: (1, 1, n*d, d)} so HF import and
+        # checkpoints are unchanged; stage i reads rows
+        # [(n-1-i)*d : (n-i)*d] (reversed concat order, ref `:776`).
+        fuse = FuseKernel(d * n, d, name="linear_fuse")
+
+        acc = None
         for i, hs in enumerate(hidden_states):
             b, h, w, c = hs.shape
             x = nn.Dense(d, dtype=dtype, kernel_init=dense_init,
@@ -399,14 +437,14 @@ class DecodeHead(nn.Module):
                                       name=f"cls_proj_{i}")(
                     cls_final.astype(dtype))
                 x = x + cls_states  # (B,1,D) broadcasts over tokens
+            w_slice = fuse((n - 1 - i) * d, d, dtype)
+            x = jnp.dot(x, w_slice,
+                        preferred_element_type=jnp.float32).astype(dtype)
             x = x.reshape(b, h, w, d)
             if (h, w) != tuple(target):
                 x = upsample_bilinear(x, tuple(target))
-            feats.append(x)
-        # Reference concatenates stages reversed (ref `:776`).
-        x = jnp.concatenate(feats[::-1], axis=-1)
-        x = nn.Conv(d, (1, 1), use_bias=False, dtype=dtype,
-                    name="linear_fuse")(x)
+            acc = x if acc is None else acc + x
+        x = acc
         x = nn.BatchNorm(use_running_average=not self.train_bn,
                          momentum=0.9, epsilon=1e-5, dtype=dtype,
                          name="batch_norm")(x)

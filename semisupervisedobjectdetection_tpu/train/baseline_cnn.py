@@ -1,0 +1,94 @@
+"""CNN-baseline workload (`main_other/baseline_segmentation.py`).
+
+One jitted train step per architecture: forward (true train mode — the
+reference calls `model.train()`, `:99`), dice loss WITH sigmoid activation
+inside the loss (`SegmentationLoss(1, 'dice', activation='sigmoid')`,
+`:86`), grad-NORM clip 35 (`:111` — note: norm clip, unlike the SegFormer
+path's value clip 1.2), Adam(0.5, 0.999) + per-epoch exponential decay.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from semisupervisedobjectdetection_tpu import losses
+from semisupervisedobjectdetection_tpu.core.config import TrainConfig
+from semisupervisedobjectdetection_tpu.models.cnn import SegmentationCNN
+from semisupervisedobjectdetection_tpu.train.state import TrainState
+
+Array = jax.Array
+
+
+def make_cnn_transform(tc: TrainConfig) -> optax.GradientTransformation:
+    """Like the SegFormer chain but with the baseline script's grad-NORM
+    clip of 35 (`baseline_segmentation.py:111`)."""
+    return optax.chain(
+        optax.clip_by_global_norm(35.0),
+        optax.add_decayed_weights(tc.weight_decay),
+        optax.scale_by_adam(b1=tc.adam_b1, b2=tc.adam_b2),
+        optax.scale(-1.0),
+    )
+
+
+def create_cnn_state(arch: str, tc: TrainConfig, rng,
+                     input_hw=(512, 512), num_labels: int = 1,
+                     dtype: str = "float32") -> Tuple[TrainState, dict]:
+    import jax.numpy as jnp
+
+    model = SegmentationCNN(arch=arch, num_labels=num_labels,
+                            dtype=jnp.bfloat16 if dtype == "bfloat16"
+                            else jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng, jnp.zeros((1, *input_hw, 3)), train=False)
+    state = TrainState.create(variables, tc)
+    state = state.replace(tx=make_cnn_transform(tc),
+                          opt_state=make_cnn_transform(tc).init(
+                              state.params))
+    return state, {"arch": arch, "num_labels": num_labels, "dtype": dtype}
+
+
+def _model(meta) -> SegmentationCNN:
+    return SegmentationCNN(
+        arch=meta["arch"], num_labels=meta["num_labels"],
+        dtype=jnp.bfloat16 if meta["dtype"] == "bfloat16" else jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("arch", "num_labels", "dtype"),
+                   donate_argnames=("state",))
+def cnn_train_step(state: TrainState, images: Array, masks: Array, rng,
+                   arch: str, num_labels: int = 1, dtype: str = "float32"):
+    meta = {"arch": arch, "num_labels": num_labels, "dtype": dtype}
+    model = _model(meta)
+
+    def loss_fn(params):
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        logits, mutated = model.apply(variables, images, train=True,
+                                      mutable=["batch_stats"],
+                                      rngs={"dropout": rng})
+        pred = logits[..., 0] if num_labels == 1 else logits
+        # dice with sigmoid activation applied inside the loss (`:86`)
+        loss = losses.dice_loss(jax.nn.sigmoid(pred), masks)
+        return loss, (pred, mutated["batch_stats"])
+
+    (loss, (pred, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    state = state.apply_gradients(grads, loss)
+    state = state.replace(batch_stats=new_stats)
+    return state, loss, jax.nn.sigmoid(pred)
+
+
+@functools.partial(jax.jit, static_argnames=("arch", "num_labels", "dtype"))
+def cnn_eval_step(state: TrainState, images: Array, masks: Array,
+                  arch: str, num_labels: int = 1, dtype: str = "float32"):
+    meta = {"arch": arch, "num_labels": num_labels, "dtype": dtype}
+    model = _model(meta)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    logits = model.apply(variables, images, train=False)
+    pred = logits[..., 0] if num_labels == 1 else logits
+    loss = losses.dice_loss(jax.nn.sigmoid(pred), masks)
+    return loss, jax.nn.sigmoid(pred)
