@@ -1,0 +1,77 @@
+"""Autoencoder pretrain CLI — `main_segformer/segFormer_autoencoder_main.py`.
+
+Run:  python -m semisupervisedobjectdetection_tpu.cli.autoencoder \
+          --synthetic --variant b0 --img-size 128 --epochs 2
+
+Trains a num_labels=3 SegFormer to reconstruct tiles (labeled then
+unlabeled loops per epoch, ref `:49-68`); best checkpoint gated on
+train+eval loss like the reference (`:107-108`). The resulting checkpoint
+warm-starts the transfer-learning CLI.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from semisupervisedobjectdetection_tpu.api import SegFormerModel
+from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
+    best_checkpoint_name,
+    save_state,
+)
+from semisupervisedobjectdetection_tpu.cli import common
+from semisupervisedobjectdetection_tpu.core.config import MIT_VARIANTS
+from semisupervisedobjectdetection_tpu.utils.logging import MetricLogger
+
+
+def main(argv=None):
+    p = common.base_parser(__doc__)
+    args = p.parse_args(argv)
+    dcfg, tc = common.configs_from_args(args)
+    dcfg = common.ensure_data(args, dcfg, need_unlabeled=True)
+    loaders = common.make_loaders(dcfg, args.seed,
+                                  flags=("train", "eval", "unlabeled"))
+    cfg = MIT_VARIANTS[args.variant](num_labels=3, dtype=args.dtype)
+    model = SegFormerModel(pretrain_weight=args.pretrain_weight,
+                           num_labels=3, train_config=tc, config=cfg)
+    logger = MetricLogger(args.metrics_csv)
+    rng = jax.random.PRNGKey(args.seed)
+    best = float("inf")
+
+    for epoch in range(tc.epochs):
+        train_losses = []
+        # labeled tiles then unlabeled tiles (ref `:49-68`)
+        for flag in ("train", "unlabeled"):
+            for images_u8, _ in loaders[flag]:
+                rng, aug_rng = jax.random.split(rng)
+                imgs, _ = common.device_train_batch(aug_rng, images_u8,
+                                                    None, dcfg)
+                loss, _ = model.train_one_epoch_without_mask(imgs)
+                train_losses.append(float(loss))
+        model.scheduler_step()
+
+        t0 = time.time()
+        eval_losses = []
+        for images_u8, _ in loaders["eval"]:
+            imgs, _ = common.device_eval_batch(images_u8, None, dcfg)
+            loss, _ = model.eval_one_epoch_without_mask(imgs)
+            eval_losses.append(float(loss))
+        # NOTE: reference logs sec/batch here, not batches/sec (`:102`)
+        spb = (time.time() - t0) / max(len(loaders["eval"]), 1)
+
+        train_loss = float(np.mean(train_losses))
+        eval_loss = float(np.mean(eval_losses))
+        logger.log(epoch, train_loss=train_loss, eval_loss=eval_loss,
+                   sec_per_batch=spb)
+        if train_loss + eval_loss < best and args.checkpoint_dir:
+            best = train_loss + eval_loss
+            name = best_checkpoint_name("segformer_autoencoder", epoch,
+                                        train_loss, eval_loss, spb)
+            save_state(f"{args.checkpoint_dir}/{name}", model.state)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""CNN baseline CLI — `main_other/baseline_segmentation.py`.
+
+Run:  python -m semisupervisedobjectdetection_tpu.cli.baseline_cnn \
+          --synthetic --img-size 128 --epochs 1 --archs deeplabv3p
+
+Sequentially trains the requested baseline architectures (reference trains
+all five in one run, `:78-144`), each with dice-with-sigmoid loss and
+grad-norm clip 35.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
+    BestCheckpointer,
+)
+from semisupervisedobjectdetection_tpu.cli import common
+from semisupervisedobjectdetection_tpu.models.cnn import BASELINE_ARCHS
+from semisupervisedobjectdetection_tpu.train.baseline_cnn import (
+    cnn_eval_step,
+    cnn_train_step,
+    create_cnn_state,
+)
+from semisupervisedobjectdetection_tpu.utils.logging import MetricLogger
+
+
+def main(argv=None):
+    p = common.base_parser(__doc__)
+    p.add_argument("--archs", default=",".join(BASELINE_ARCHS),
+                   help="comma-separated subset of " +
+                        ",".join(BASELINE_ARCHS))
+    p.add_argument("--encoder-depths", default="3,4,23,3",
+                   help="ResNeXt stage depths (default = ResNeXt101)")
+    args = p.parse_args(argv)
+    dcfg, tc = common.configs_from_args(args)
+    dcfg = common.ensure_data(args, dcfg)
+    loaders = common.make_loaders(dcfg, args.seed)
+    logger = MetricLogger(args.metrics_csv)
+    depths = tuple(int(x) for x in args.encoder_depths.split(","))
+
+    for arch in args.archs.split(","):
+        print(f"======== {arch} ========")
+        state, _ = create_cnn_state(
+            arch, tc, jax.random.PRNGKey(args.seed),
+            input_hw=(dcfg.img_h, dcfg.img_w), dtype=args.dtype,
+            encoder_depths=depths)
+        ckpt = BestCheckpointer(args.checkpoint_dir, prefix=arch)
+        rng = jax.random.PRNGKey(args.seed)
+        best = float("inf")
+        for epoch in range(tc.epochs):
+            tl = []
+            for images_u8, masks_u8 in loaders["train"]:
+                rng, aug_rng, d_rng = jax.random.split(rng, 3)
+                imgs, masks = common.device_train_batch(aug_rng, images_u8,
+                                                        masks_u8, dcfg)
+                state, loss, _ = cnn_train_step(
+                    state, imgs, masks, d_rng, arch, dtype=args.dtype,
+                    encoder_depths=depths)
+                tl.append(float(loss))
+            state = state.scheduler_step()
+            t0 = time.time()
+            ev = []
+            for images_u8, masks_u8 in loaders["eval"]:
+                imgs, masks = common.device_eval_batch(images_u8, masks_u8,
+                                                       dcfg)
+                loss, _ = cnn_eval_step(state, imgs, masks, arch,
+                                        dtype=args.dtype,
+                                        encoder_depths=depths)
+                ev.append(float(loss))
+            fps = len(loaders["eval"]) / max(time.time() - t0, 1e-9)
+            train_loss = float(np.mean(tl)) if tl else 0.0
+            eval_loss = float(np.mean(ev)) if ev else 0.0
+            logger.log(epoch, arch=arch, train_loss=train_loss,
+                       eval_loss=eval_loss, fps=fps)
+            if eval_loss < best and args.checkpoint_dir:
+                best = eval_loss
+                ckpt.maybe_save(state, epoch, train_loss, eval_loss, fps)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""Shared CLI plumbing for the six workload entry points.
+
+The reference is driven by hand-edited scripts (`readme.md:18-19`,
+SURVEY.md §5 config row); here every workload is an argparse CLI with a
+`--synthetic` mode that generates Georgia-shaped tiles on the fly so any
+workload runs end-to-end without the private dataset.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import tempfile
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semisupervisedobjectdetection_tpu.core.config import (
+    DataConfig,
+    MIT_VARIANTS,
+    TrainConfig,
+)
+from semisupervisedobjectdetection_tpu.data.augment import (
+    augment_batch,
+    eval_batch,
+)
+from semisupervisedobjectdetection_tpu.data.loader import TileLoader
+from semisupervisedobjectdetection_tpu.data.synthetic import (
+    write_synthetic_dataset,
+)
+from semisupervisedobjectdetection_tpu.data.tiles import TileDataset
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--dataset", help="labeled train tile dir")
+    p.add_argument("--evalset", help="labeled eval tile dir")
+    p.add_argument("--maskdir", help="mask dir")
+    p.add_argument("--unlabeledset", help="unlabeled tile dir")
+    p.add_argument("--pseudoset", help="unlabeled tiles for pseudo-labels")
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate synthetic tiles (no real data needed)")
+    p.add_argument("--synthetic-n", type=int, default=24)
+    p.add_argument("--variant", default="b0", choices=sorted(MIT_VARIANTS),
+                   help="MiT encoder size (reference uses b5)")
+    p.add_argument("--img-size", type=int, default=512)
+    p.add_argument("--batch-size", type=int, default=0,
+                   help="0 = DataConfig default")
+    p.add_argument("--epochs", type=int, default=0,
+                   help="0 = TrainConfig default (50)")
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--weight-decay", type=float, default=None)
+    p.add_argument("--scheduler", type=float, default=None,
+                   help="ExponentialLR gamma")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--pretrain-weight", help="orbax checkpoint to restore")
+    p.add_argument("--hf-weights",
+                   help="torch .pth/.safetensors SegFormer weights")
+    p.add_argument("--metrics-csv", help="CSV metrics path")
+    p.add_argument("--profile-dir", help="jax.profiler trace dir")
+    p.add_argument("--no-quirks", action="store_true",
+                   help="disable reference-quirk parity (train prompts, "
+                        "dropout on in supervised training)")
+    return p
+
+
+def configs_from_args(args) -> Tuple[DataConfig, TrainConfig]:
+    dcfg = DataConfig(
+        dataset=args.dataset, evalset=args.evalset, maskdir=args.maskdir,
+        unlabeledset=getattr(args, "unlabeledset", None),
+        pseudoset=getattr(args, "pseudoset", None),
+        img_h=args.img_size, img_w=args.img_size,
+        canvas=max(args.img_size, 64),
+        crop=max(int(args.img_size * 500 / 512), 32),
+    )
+    if args.batch_size:
+        dcfg = dcfg.replace(batch_size=args.batch_size)
+    tc = TrainConfig()
+    if args.epochs:
+        tc = tc.replace(epochs=args.epochs)
+    if args.lr is not None:
+        tc = tc.replace(lr=args.lr)
+    if args.weight_decay is not None:
+        tc = tc.replace(weight_decay=args.weight_decay)
+    if args.scheduler is not None:
+        tc = tc.replace(lr_decay=args.scheduler)
+    if args.no_quirks:
+        tc = tc.replace(reference_quirks=False)
+    return dcfg, tc
+
+
+def ensure_data(args, dcfg: DataConfig, need_unlabeled: bool = False
+                ) -> DataConfig:
+    """Materialize synthetic datasets when --synthetic (or no dirs given)."""
+    if not args.synthetic and dcfg.dataset:
+        return dcfg
+    root = tempfile.mkdtemp(prefix="sso_synth_")
+    size = max(dcfg.canvas, 64)
+    write_synthetic_dataset(os.path.join(root, "train"),
+                            os.path.join(root, "masks"),
+                            n=args.synthetic_n, size=size, seed=args.seed)
+    write_synthetic_dataset(os.path.join(root, "eval"),
+                            os.path.join(root, "masks"),
+                            n=max(args.synthetic_n // 3, 4), size=size,
+                            seed=args.seed + 1)
+    upd = dict(dataset=os.path.join(root, "train"),
+               evalset=os.path.join(root, "eval"),
+               maskdir=os.path.join(root, "masks"))
+    if need_unlabeled:
+        write_synthetic_dataset(os.path.join(root, "unlabeled"), None,
+                                n=args.synthetic_n, size=size,
+                                seed=args.seed + 2, unlabeled=True)
+        upd["unlabeledset"] = os.path.join(root, "unlabeled")
+        upd["pseudoset"] = os.path.join(root, "unlabeled")
+    print(f"synthetic dataset at {root}")
+    return dcfg.replace(**upd)
+
+
+def make_loaders(dcfg: DataConfig, seed: int = 0,
+                 flags=("train", "eval")) -> dict:
+    out = {}
+    for flag in flags:
+        if flag == "train":
+            ds = TileDataset(dcfg.dataset, dcfg.maskdir, canvas=dcfg.canvas)
+        elif flag == "eval":
+            ds = TileDataset(dcfg.evalset, dcfg.maskdir, canvas=dcfg.canvas)
+        elif flag == "unlabeled":
+            ds = TileDataset(dcfg.unlabeledset, None, canvas=dcfg.canvas,
+                             has_mask=False)
+        elif flag == "pseudo":
+            ds = TileDataset(dcfg.pseudoset, None, canvas=dcfg.canvas,
+                             has_mask=False)
+        else:
+            raise ValueError(flag)
+        # drop_last matches the reference (`config.py:42`) but would yield
+        # an empty loader when the dataset is smaller than one batch (tiny
+        # synthetic smoke runs); clamp the batch size instead.
+        bs = min(dcfg.batch_size, max(len(ds), 1))
+        out[flag] = TileLoader(
+            ds, bs, shuffle=dcfg.shuffle,
+            drop_last=dcfg.drop_last, seed=seed,
+            num_shards=jax.process_count(),
+            shard_index=jax.process_index())
+    return out
+
+
+def device_train_batch(rng, images_u8, masks_u8, dcfg: DataConfig):
+    """Host uint8 -> device-augmented float batch (train chain)."""
+    imgs = jnp.asarray(images_u8)
+    masks = jnp.asarray(masks_u8) if masks_u8 is not None else None
+    return augment_batch(rng, imgs, masks, crop=dcfg.crop,
+                         out_h=dcfg.img_h, out_w=dcfg.img_w,
+                         prob=dcfg.aug_prob,
+                         with_mask=masks is not None)
+
+
+def device_eval_batch(images_u8, masks_u8, dcfg: DataConfig):
+    imgs = jnp.asarray(images_u8)
+    masks = jnp.asarray(masks_u8) if masks_u8 is not None else None
+    return eval_batch(imgs, masks, out_h=dcfg.img_h, out_w=dcfg.img_w,
+                      with_mask=masks is not None)

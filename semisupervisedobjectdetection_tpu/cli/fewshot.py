@@ -1,0 +1,174 @@
+"""Few-shot domain-prompting CLI —
+`main_segformer/segFormer_fewshot_learning.py`.
+
+Run:  python -m semisupervisedobjectdetection_tpu.cli.fewshot \
+          --synthetic --variant b0 --img-size 128 --epochs 2 --mode ae
+
+Two modes mirroring the reference's two loops: `--mode ae` trains the
+domain-prompt autoencoder (per iteration: one category pair from the
+labeled-classified group + one from the unlabeled-classified group, loss =
+recon + 100*inter + 100*intra, ref `:240-344`); `--mode seg` runs the
+supervised per-domain fine-tune (`:44-133`). With --synthetic, domains are
+synthesized as directory groups.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import tempfile
+import time
+
+import jax
+import numpy as np
+
+from semisupervisedobjectdetection_tpu.cli import common
+from semisupervisedobjectdetection_tpu.core.config import MIT_VARIANTS
+from semisupervisedobjectdetection_tpu.data.classified import (
+    category_loaders,
+    get_categories,
+)
+from semisupervisedobjectdetection_tpu.data.synthetic import (
+    write_synthetic_dataset,
+)
+from semisupervisedobjectdetection_tpu.models.segformer import SegFormer
+from semisupervisedobjectdetection_tpu.train.state import TrainState
+from semisupervisedobjectdetection_tpu.train import fewshot as fw
+from semisupervisedobjectdetection_tpu.train.supervised import eval_step
+from semisupervisedobjectdetection_tpu.utils.logging import MetricLogger
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _eval_pair_ae(cfg, variables, img1, img2):
+    from semisupervisedobjectdetection_tpu.train.fewshot import (
+        _pair_ae_loss,
+    )
+    return _pair_ae_loss(cfg, variables, img1, img2)
+
+
+class RoundRobin:
+    """Round-robin category iterator with StopIteration restart
+    (ref `:70-81,193-204`)."""
+
+    def __init__(self, loaders):
+        self.loaders = loaders
+        self.iters = [iter(l) for l in loaders]
+
+    def next_from(self, idx):
+        try:
+            return next(self.iters[idx])
+        except StopIteration:
+            self.iters[idx] = iter(self.loaders[idx])
+            return next(self.iters[idx])
+
+
+def synth_classified(args, dcfg, n_domains=3):
+    root = tempfile.mkdtemp(prefix="sso_classified_")
+    size = max(dcfg.canvas, 64)
+    for grp, unlab in (("labeled", False), ("unlabeled", True)):
+        for d in range(n_domains):
+            write_synthetic_dataset(
+                os.path.join(root, grp, f"domain{d}"),
+                os.path.join(root, "masks") if not unlab else None,
+                n=max(args.synthetic_n // 3, 6), size=size,
+                seed=args.seed + 17 * d + (100 if unlab else 0),
+                unlabeled=unlab)
+    return dcfg.replace(labeled_classified=os.path.join(root, "labeled"),
+                        unlabeled_classified=os.path.join(root,
+                                                          "unlabeled"),
+                        maskdir=os.path.join(root, "masks"))
+
+
+def main(argv=None):
+    p = common.base_parser(__doc__)
+    p.add_argument("--mode", default="ae", choices=["ae", "seg"])
+    p.add_argument("--iterations", type=int, default=0,
+                   help="iterations per epoch (0 = reference defaults: "
+                        "101 for ae `:241`, 35 for seg `:45`)")
+    p.add_argument("--labeled-classified")
+    p.add_argument("--unlabeled-classified")
+    p.add_argument("--cls-loss-weight", type=float, default=0.0)
+    args = p.parse_args(argv)
+    dcfg, tc = common.configs_from_args(args)
+    if args.labeled_classified:
+        dcfg = dcfg.replace(labeled_classified=args.labeled_classified,
+                            unlabeled_classified=args.unlabeled_classified)
+    else:
+        dcfg = synth_classified(args, dcfg)
+    dcfg2 = common.ensure_data(args, dcfg)
+    dcfg = dcfg.replace(evalset=dcfg2.evalset, dataset=dcfg2.dataset,
+                        maskdir=dcfg.maskdir or dcfg2.maskdir)
+    eval_loaders = common.make_loaders(dcfg, args.seed, flags=("eval",))
+
+    iters = args.iterations or (101 if args.mode == "ae" else 35)
+    num_labels = 3 if args.mode == "ae" else 1
+    cfg = MIT_VARIANTS[args.variant](
+        num_labels=num_labels, cls_tokens=(1, 1, 1, 1), dtype=args.dtype)
+    model = SegFormer(cfg)
+    import jax.numpy as jnp
+
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(args.seed),
+        jnp.zeros((1, dcfg.img_h, dcfg.img_w, 3)))
+    state = TrainState.create(variables, tc)
+    logger = MetricLogger(args.metrics_csv)
+    rng = jax.random.PRNGKey(args.seed)
+    pyrng = random.Random(args.seed)
+
+    lab = category_loaders(dcfg, "labeled", args.seed)
+    unlab = category_loaders(dcfg, "unlabeled", args.seed)
+    print(f"{len(lab)} labeled domains, {len(unlab)} unlabeled domains")
+    rr_lab, rr_unlab = RoundRobin(lab), RoundRobin(unlab)
+
+    for epoch in range(tc.epochs):
+        ep_losses = []
+        for it in range(iters):
+            def draw_pair(rr, n):
+                a, b = pyrng.sample(range(n), 2)
+                (i1, m1), (i2, m2) = rr.next_from(a), rr.next_from(b)
+                return (i1, m1), (i2, m2)
+
+            rng, r1, r2, r3, r4 = jax.random.split(rng, 5)
+            if args.mode == "ae":
+                (a1, _), (a2, _) = draw_pair(rr_lab, len(lab))
+                (b1, _), (b2, _) = draw_pair(rr_unlab, len(unlab))
+                g11, _ = common.device_train_batch(r1, a1, None, dcfg)
+                g12, _ = common.device_train_batch(r2, a2, None, dcfg)
+                g21, _ = common.device_train_batch(r3, b1, None, dcfg)
+                g22, _ = common.device_train_batch(r4, b2, None, dcfg)
+                out = fw.fewshot_ae_step(state, g11, g12, g21, g22, cfg)
+                state = out.state
+                ep_losses.append(float(out.loss))
+            else:
+                (a1, m1), (a2, m2) = draw_pair(rr_lab, len(lab))
+                i1, mm1 = common.device_train_batch(r1, a1, m1, dcfg)
+                i2, mm2 = common.device_train_batch(r2, a2, m2, dcfg)
+                out = fw.fewshot_seg_step(state, i1, mm1, i2, mm2, cfg,
+                                          args.cls_loss_weight)
+                state = out.state
+                ep_losses.append(float(out.loss))
+        state = state.scheduler_step()
+
+        t0 = time.time()
+        ev = []
+        for images_u8, masks_u8 in eval_loaders["eval"]:
+            imgs, masks = common.device_eval_batch(images_u8, masks_u8,
+                                                   dcfg)
+            if args.mode == "seg":
+                loss, _ = eval_step(state, imgs, masks, cfg)
+            else:
+                v = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+                loss, _, _, _ = _eval_pair_ae(cfg, v, imgs, imgs)
+            ev.append(float(loss))
+        fps = len(eval_loaders["eval"]) / max(time.time() - t0, 1e-9)
+        logger.log(epoch, train_loss=float(np.mean(ep_losses)),
+                   eval_loss=float(np.mean(ev)) if ev else 0.0, fps=fps)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

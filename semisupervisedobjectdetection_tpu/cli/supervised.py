@@ -1,0 +1,133 @@
+"""Supervised SegFormer fine-tune CLI — `main_segformer/segFormer_main.py`.
+
+Run:  python -m semisupervisedobjectdetection_tpu.cli.supervised \
+          --synthetic --variant b0 --img-size 128 --epochs 2
+
+Provides the reference script's Train / Prediction / Hyperparameter_Tuning
+capabilities (`segFormer_main.py:21-144`) as flags: `--predict` runs
+eval-only from a checkpoint; `--tune-lr a,b,c` grid-searches like
+`Hyperparameter_Tuning` on an 80/20 split (`:103-144`).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from semisupervisedobjectdetection_tpu.api import SegFormerModel
+from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
+    BestCheckpointer,
+)
+from semisupervisedobjectdetection_tpu.cli import common
+from semisupervisedobjectdetection_tpu.core.config import MIT_VARIANTS
+from semisupervisedobjectdetection_tpu.eval.metrics import (
+    binary_miou,
+    dice_score,
+)
+from semisupervisedobjectdetection_tpu.utils.logging import (
+    MetricLogger,
+    profile_trace,
+)
+
+
+def train_loop(model: SegFormerModel, loaders, dcfg, tc, args,
+               logger: MetricLogger, loss_type: str = "dice"):
+    """Epoch loop mirroring `Train` (`segFormer_main.py:35-100`)."""
+    ckpt = BestCheckpointer(args.checkpoint_dir, prefix="segformer")
+    rng = jax.random.PRNGKey(args.seed)
+    best = float("inf")
+    for epoch in range(tc.epochs):
+        train_losses = []
+        for images_u8, masks_u8 in loaders["train"]:
+            rng, aug_rng = jax.random.split(rng)
+            imgs, masks = common.device_train_batch(aug_rng, images_u8,
+                                                    masks_u8, dcfg)
+            loss, _ = model.train_one_epoch(imgs, masks,
+                                            use_loss=loss_type)
+            train_losses.append(float(loss))
+        model.scheduler_step()
+
+        t0 = time.time()
+        eval_losses, dices, mious = [], [], []
+        for images_u8, masks_u8 in loaders["eval"]:
+            imgs, masks = common.device_eval_batch(images_u8, masks_u8,
+                                                   dcfg)
+            loss, pred = model.eval_one_epoch(imgs, masks)
+            eval_losses.append(float(loss))
+            dices.append(float(dice_score(pred, masks)))
+            mious.append(float(binary_miou(pred, masks)))
+        fps = len(loaders["eval"]) / max(time.time() - t0, 1e-9)
+
+        train_loss = float(np.mean(train_losses)) if train_losses else 0.0
+        eval_loss = float(np.mean(eval_losses)) if eval_losses else 0.0
+        logger.log(epoch, train_loss=train_loss, eval_loss=eval_loss,
+                   dice=float(np.mean(dices)) if dices else 0.0,
+                   miou=float(np.mean(mious)) if mious else 0.0,
+                   fps=fps, lr=float(model.state.lr))
+        if eval_loss < best:
+            best = eval_loss
+            if args.checkpoint_dir:
+                ckpt.maybe_save(model.state, epoch, train_loss, eval_loss,
+                                fps)
+    return best
+
+
+def main(argv=None):
+    p = common.base_parser(__doc__)
+    p.add_argument("--loss", default="dice",
+                   choices=["dice", "dice_argmax", "bce"])
+    p.add_argument("--predict", action="store_true",
+                   help="eval-only from --pretrain-weight")
+    p.add_argument("--tune-lr",
+                   help="comma-separated lrs for grid search on 80/20 split")
+    args = p.parse_args(argv)
+    dcfg, tc = common.configs_from_args(args)
+    dcfg = common.ensure_data(args, dcfg)
+    loaders = common.make_loaders(dcfg, args.seed)
+    cfg = MIT_VARIANTS[args.variant](dtype=args.dtype)
+    logger = MetricLogger(args.metrics_csv)
+
+    if args.tune_lr:
+        from semisupervisedobjectdetection_tpu.data.loader import (
+            split_dataset,
+        )
+        from semisupervisedobjectdetection_tpu.data.loader import TileLoader
+
+        best_lr, best = None, float("inf")
+        tr, va = split_dataset(loaders["train"].dataset, 0.8, args.seed)
+        sub = {"train": TileLoader(tr, dcfg.batch_size, seed=args.seed),
+               "eval": TileLoader(va, dcfg.batch_size, seed=args.seed)}
+        for lr in [float(x) for x in args.tune_lr.split(",")]:
+            model = SegFormerModel(lr=lr, train_config=tc, config=cfg)
+            loss = train_loop(model, sub, dcfg,
+                              tc.replace(epochs=max(tc.epochs // 5, 1)),
+                              args, logger, args.loss)
+            print(f"lr={lr}: best eval loss {loss:.4f}")
+            if loss < best:
+                best, best_lr = loss, lr
+        print(f"best lr: {best_lr} ({best:.4f})")
+        return
+
+    model = SegFormerModel(pretrain_weight=args.pretrain_weight,
+                           train_config=tc, config=cfg,
+                           hf_weights=args.hf_weights)
+    if args.predict:
+        losses = []
+        for images_u8, masks_u8 in loaders["eval"]:
+            imgs, masks = common.device_eval_batch(images_u8, masks_u8,
+                                                   dcfg)
+            loss, _ = model.eval_one_epoch(imgs, masks)
+            losses.append(float(loss))
+        print(f"eval loss: {np.mean(losses):.4f} "
+              f"(dice ~ {1 - np.mean(losses):.4f})")
+        return
+
+    with profile_trace(args.profile_dir):
+        train_loop(model, loaders, dcfg, tc, args, logger, args.loss)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

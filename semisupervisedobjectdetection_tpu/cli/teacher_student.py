@@ -1,0 +1,147 @@
+"""Teacher-student semi-supervised CLI —
+`main_segformer/segFormer_semi_teacherstudent_main.py`.
+
+Run:  python -m semisupervisedobjectdetection_tpu.cli.teacher_student \
+          --synthetic --variant b0 --img-size 128 --epochs 2
+
+Implements the reference's full loop (SURVEY.md §3.2): per epoch, Phase A
+pseudo-labels the unlabeled set (teacher self-trains every 4th epoch,
+`:89-90`), Phase B trains teacher (label denoising by default, `:110-120`)
+and student (supervised + self-supervised mix, `:123-127`) on the labeled
+set; both models evaluate with binarized dice; optional hard teacher reset
+from the student every 5 epochs (`:202-204`) or EMA (build addition).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
+    BestCheckpointer,
+)
+from semisupervisedobjectdetection_tpu.cli import common
+from semisupervisedobjectdetection_tpu.core.config import MIT_VARIANTS
+from semisupervisedobjectdetection_tpu.eval.metrics import binary_miou
+from semisupervisedobjectdetection_tpu.models.segformer import SegFormer
+from semisupervisedobjectdetection_tpu.train.state import TrainState
+from semisupervisedobjectdetection_tpu.train.supervised import eval_step
+from semisupervisedobjectdetection_tpu.train import teacher_student as ts
+from semisupervisedobjectdetection_tpu.utils.logging import MetricLogger
+
+
+def main(argv=None):
+    p = common.base_parser(__doc__)
+    p.add_argument("--teacher-lr", type=float, default=5e-7)
+    p.add_argument("--student-lr", type=float, default=3e-5)
+    p.add_argument("--supervise-weight", type=float, default=0.8)
+    p.add_argument("--threshold", type=float, default=0.75,
+                   help="pseudo-mask threshold (best grid point `:289`)")
+    p.add_argument("--no-denoise", action="store_true")
+    p.add_argument("--reset-teacher", action="store_true",
+                   help="hard copy student->teacher every 5 epochs")
+    p.add_argument("--ema", type=float, default=0.0,
+                   help=">0 enables EMA teacher updates (build addition)")
+    args = p.parse_args(argv)
+    dcfg, tc = common.configs_from_args(args)
+    dcfg = common.ensure_data(args, dcfg, need_unlabeled=True)
+    loaders = common.make_loaders(dcfg, args.seed,
+                                  flags=("train", "eval", "pseudo"))
+    cfg = MIT_VARIANTS[args.variant](dtype=args.dtype)
+    logger = MetricLogger(args.metrics_csv)
+
+    model = SegFormer(cfg)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(args.seed),
+        jnp.zeros((1, dcfg.img_h, dcfg.img_w, 3)))
+    teacher = TrainState.create(variables, tc, lr=args.teacher_lr)
+    student = TrainState.create(variables, tc, lr=args.student_lr)
+    if args.pretrain_weight:
+        from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
+            restore_state,
+        )
+        teacher = restore_state(args.pretrain_weight, teacher)
+        student = restore_state(args.pretrain_weight, student)
+        print("warm-started teacher+student from", args.pretrain_weight)
+
+    ckpt_s = BestCheckpointer(args.checkpoint_dir, "ts_student")
+    ckpt_t = BestCheckpointer(args.checkpoint_dir, "ts_teacher")
+    rng = jax.random.PRNGKey(args.seed)
+    sup_w = jnp.asarray(args.supervise_weight)
+    best = float("inf")
+
+    for epoch in range(tc.epochs):
+        # -------- Phase A: unlabeled pseudo-labeling (`:80-97`)
+        images_used = 0
+        pseudo_losses = []
+        update_teacher = jnp.asarray(epoch % 4 == 0)
+        for images_u8, _ in loaders["pseudo"]:
+            rng, aug_rng = jax.random.split(rng)
+            imgs, _ = common.device_train_batch(aug_rng, images_u8, None,
+                                                dcfg)
+            out = ts.pseudo_label_step(teacher, imgs, update_teacher, cfg,
+                                       threshold=args.threshold)
+            teacher = out.teacher_state
+            images_used += int(out.n_kept)
+            if np.isfinite(float(out.loss)):
+                pseudo_losses.append(float(out.loss))
+        print(f"epoch {epoch}: {images_used} unlabeled images used")
+
+        # -------- Phase B: labeled set trains both models (`:99-129`)
+        s_losses, t_losses = [], []
+        for images_u8, masks_u8 in loaders["train"]:
+            rng, aug_rng = jax.random.split(rng)
+            imgs, masks = common.device_train_batch(aug_rng, images_u8,
+                                                    masks_u8, dcfg)
+            lout = ts.labeled_step(teacher, student, imgs, masks, sup_w,
+                                   cfg, denoise_label=not args.no_denoise,
+                                   threshold=args.threshold)
+            teacher, student = lout.teacher_state, lout.student_state
+            s_losses.append(float(lout.student_loss_total))
+            t_losses.append(float(lout.teacher_loss))
+        teacher = teacher.scheduler_step()
+        student = student.scheduler_step()
+        if args.ema > 0:
+            teacher = ts.ema_update(teacher, student, args.ema)
+
+        # -------- eval both models (`:147-172`)
+        t0 = time.time()
+        ev_s, ev_t, mious = [], [], []
+        for images_u8, masks_u8 in loaders["eval"]:
+            imgs, masks = common.device_eval_batch(images_u8, masks_u8,
+                                                   dcfg)
+            tl, _ = eval_step(teacher, imgs, masks, cfg)
+            sl, pred = eval_step(student, imgs, masks, cfg)
+            ev_t.append(float(tl))
+            ev_s.append(float(sl))
+            mious.append(float(binary_miou(pred, masks)))
+        fps = len(loaders["eval"]) / max(time.time() - t0, 1e-9)
+
+        train_loss = float(np.mean(s_losses)) if s_losses else 0.0
+        eval_s = float(np.mean(ev_s)) if ev_s else 0.0
+        eval_t = float(np.mean(ev_t)) if ev_t else 0.0
+        logger.log(epoch, train_loss=train_loss, eval_loss=eval_s,
+                   teacher_train=float(np.mean(t_losses)) if t_losses
+                   else 0.0,
+                   teacher_eval=eval_t, images_used=images_used,
+                   miou=float(np.mean(mious)) if mious else 0.0, fps=fps)
+
+        if args.checkpoint_dir:
+            if eval_s < best:
+                best = eval_s
+                ckpt_s.maybe_save(student, epoch, train_loss, eval_s, fps)
+            if eval_t < best:
+                best = eval_t
+                ckpt_t.maybe_save(teacher, epoch, train_loss, eval_t, fps)
+
+        if args.reset_teacher and epoch != 0 and epoch % 5 == 0:
+            teacher = ts.copy_student_to_teacher(teacher, student)
+            print("!!! teacher reset !!!")
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

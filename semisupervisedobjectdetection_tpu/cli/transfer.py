@@ -1,0 +1,80 @@
+"""Prompt-tuning transfer-learning CLI —
+`main_segformer/segFormer_transfer_learning_main.py`.
+
+Run:  python -m semisupervisedobjectdetection_tpu.cli.transfer \
+          --synthetic --variant b0 --img-size 128 --epochs 2 \
+          --frozen 0,1 --prompt-tokens 10,10,10,10
+
+Warm-starts from an autoencoder (or any) checkpoint, freezes encoder
+stages, adds prompt tokens and fine-tunes supervised (ref `:199-206`).
+`--tune` sweeps lr x frozen-set x token-count like `Hyperparameter_Tuning`
+(`:107-160`: tokens in {1, 10, 100}).
+"""
+
+from __future__ import annotations
+
+from semisupervisedobjectdetection_tpu.api import SegFormerModel
+from semisupervisedobjectdetection_tpu.cli import common
+from semisupervisedobjectdetection_tpu.cli.supervised import train_loop
+from semisupervisedobjectdetection_tpu.core.config import (
+    MIT_VARIANTS,
+    product_grid,
+)
+from semisupervisedobjectdetection_tpu.utils.logging import MetricLogger
+
+
+def build_model(args, tc, cfg, frozen, tokens, same_per_layer=True,
+                lr=None):
+    model = SegFormerModel(pretrain_weight=args.pretrain_weight,
+                           train_config=tc, config=cfg, lr=lr,
+                           hf_weights=args.hf_weights)
+    if frozen:
+        model.frozen_encoder(layers=frozen)
+    if any(tokens):
+        model.add_prompt_token(tokens, isSamePerLayer=same_per_layer)
+    return model
+
+
+def main(argv=None):
+    p = common.base_parser(__doc__)
+    p.add_argument("--frozen", default="0,1",
+                   help="comma-separated encoder stages to freeze")
+    p.add_argument("--prompt-tokens", default="10,10,10,10")
+    p.add_argument("--per-layer-prompts", action="store_true")
+    p.add_argument("--tune", action="store_true",
+                   help="grid search lr x frozen x token count")
+    args = p.parse_args(argv)
+    dcfg, tc = common.configs_from_args(args)
+    dcfg = common.ensure_data(args, dcfg)
+    loaders = common.make_loaders(dcfg, args.seed)
+    cfg = MIT_VARIANTS[args.variant](dtype=args.dtype)
+    logger = MetricLogger(args.metrics_csv)
+
+    frozen = [int(x) for x in args.frozen.split(",") if x != ""]
+    tokens = tuple(int(x) for x in args.prompt_tokens.split(","))
+
+    if args.tune:
+        grid = product_grid([1e-4, 5e-5, 1e-5], [tuple(frozen), (0, 1, 2)],
+                            [1, 10, 100], shuffle=True, seed=args.seed)
+        best, best_pt = float("inf"), None
+        for lr, fz, tok in grid:
+            model = build_model(args, tc, cfg, list(fz), (tok,) * 4,
+                                lr=lr)
+            loss = train_loop(model, loaders, dcfg,
+                              tc.replace(epochs=max(tc.epochs // 5, 1)),
+                              args, logger)
+            print(f"lr={lr} frozen={fz} tokens={tok}: {loss:.4f}")
+            if loss < best:
+                best, best_pt = loss, (lr, fz, tok)
+        print(f"best: lr={best_pt[0]} frozen={best_pt[1]} "
+              f"tokens={best_pt[2]} loss={best:.4f}")
+        return
+
+    model = build_model(args, tc, cfg, frozen, tokens,
+                        not args.per_layer_prompts)
+    train_loop(model, loaders, dcfg, tc, args, logger)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""ViT (DINOv2) pipeline CLI — the reference's `main_vit_based/` scripts
+(`vit_segmentation_main.py`, `vit_autoencoder_main.py`,
+`vit_semi_teacherstudent_main.py`) under one entry point.
+
+Run:  python -m semisupervisedobjectdetection_tpu.cli.vit_pipeline \
+          --synthetic --img-size 126 --epochs 1 --mode seg --vit small
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
+    BestCheckpointer,
+)
+from semisupervisedobjectdetection_tpu.cli import common
+from semisupervisedobjectdetection_tpu.core.config import TrainConfig
+from semisupervisedobjectdetection_tpu.train.vit_seg import (
+    build_vit_seg,
+    create_vit_state,
+    make_vit_steps,
+)
+from semisupervisedobjectdetection_tpu.utils.logging import MetricLogger
+
+
+def main(argv=None):
+    p = common.base_parser(__doc__)
+    p.add_argument("--mode", default="seg", choices=["seg", "ae", "semi"])
+    p.add_argument("--vit", default="base",
+                   choices=["small", "base", "large", "giant2"])
+    p.add_argument("--patch-size", type=int, default=14)
+    p.add_argument("--vit-depth", type=int, default=0,
+                   help="override encoder/decoder depth (0 = variant)")
+    args = p.parse_args(argv)
+    dcfg, tc = common.configs_from_args(args)
+    # ViT needs img size divisible by the patch size
+    size = (dcfg.img_h // args.patch_size) * args.patch_size
+    dcfg = dcfg.replace(img_h=size, img_w=size)
+    dcfg = common.ensure_data(args, dcfg,
+                              need_unlabeled=args.mode != "seg")
+    flags = ("train", "eval") if args.mode == "seg" else (
+        "train", "eval", "unlabeled")
+    loaders = common.make_loaders(dcfg, args.seed, flags=flags)
+    logger = MetricLogger(args.metrics_csv)
+
+    out_chans = 3 if args.mode == "ae" else 1
+    model = build_vit_seg(img_size=size, patch_size=args.patch_size,
+                          out_chans=out_chans, variant=args.vit,
+                          dtype=args.dtype,
+                          depth=args.vit_depth or None)
+    state = create_vit_state(model, tc, jax.random.PRNGKey(args.seed),
+                             img_size=size)
+    seg_train, seg_eval, ae_train, pseudo_step = make_vit_steps(model)
+    ckpt = BestCheckpointer(args.checkpoint_dir, prefix=f"vit_{args.mode}")
+    rng = jax.random.PRNGKey(args.seed)
+    best = float("inf")
+
+    for epoch in range(tc.epochs):
+        tl = []
+        if args.mode == "semi":
+            update = jnp.asarray(epoch % 4 == 0)
+            for images_u8, _ in loaders["unlabeled"]:
+                rng, r = jax.random.split(rng)
+                imgs, _ = common.device_train_batch(r, images_u8, None,
+                                                    dcfg)
+                state, loss, _ = pseudo_step(state, imgs, update)
+        for images_u8, masks_u8 in loaders["train"]:
+            rng, r = jax.random.split(rng)
+            if args.mode == "ae":
+                imgs, _ = common.device_train_batch(r, images_u8, None,
+                                                    dcfg)
+                state, loss, _ = ae_train(state, imgs)
+            else:
+                imgs, masks = common.device_train_batch(r, images_u8,
+                                                        masks_u8, dcfg)
+                state, loss, _ = seg_train(state, imgs, masks)
+            tl.append(float(loss))
+        state = state.scheduler_step()
+
+        t0 = time.time()
+        ev = []
+        for images_u8, masks_u8 in loaders["eval"]:
+            imgs, masks = common.device_eval_batch(images_u8, masks_u8,
+                                                   dcfg)
+            if args.mode == "ae":
+                from semisupervisedobjectdetection_tpu.models.vit_decoder \
+                    import patch_loss
+                out, _ = model.apply({"params": state.params}, imgs)
+                loss = patch_loss(out, imgs, args.patch_size)
+            else:
+                loss, _ = seg_eval(state, imgs, masks)
+            ev.append(float(loss))
+        fps = len(loaders["eval"]) / max(time.time() - t0, 1e-9)
+        train_loss = float(np.mean(tl)) if tl else 0.0
+        eval_loss = float(np.mean(ev)) if ev else 0.0
+        logger.log(epoch, train_loss=train_loss, eval_loss=eval_loss,
+                   fps=fps)
+        if eval_loss < best and args.checkpoint_dir:
+            best = eval_loss
+            ckpt.maybe_save(state, epoch, train_loss, eval_loss, fps)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

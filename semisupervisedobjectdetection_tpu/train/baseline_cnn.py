@@ -37,10 +37,13 @@ def make_cnn_transform(tc: TrainConfig) -> optax.GradientTransformation:
 
 def create_cnn_state(arch: str, tc: TrainConfig, rng,
                      input_hw=(512, 512), num_labels: int = 1,
-                     dtype: str = "float32") -> Tuple[TrainState, dict]:
+                     dtype: str = "float32",
+                     encoder_depths=(3, 4, 23, 3)
+                     ) -> Tuple[TrainState, dict]:
     import jax.numpy as jnp
 
     model = SegmentationCNN(arch=arch, num_labels=num_labels,
+                            encoder_depths=tuple(encoder_depths),
                             dtype=jnp.bfloat16 if dtype == "bfloat16"
                             else jnp.float32)
     variables = jax.jit(model.init, static_argnames=("train",))(
@@ -49,20 +52,26 @@ def create_cnn_state(arch: str, tc: TrainConfig, rng,
     state = state.replace(tx=make_cnn_transform(tc),
                           opt_state=make_cnn_transform(tc).init(
                               state.params))
-    return state, {"arch": arch, "num_labels": num_labels, "dtype": dtype}
+    return state, {"arch": arch, "num_labels": num_labels, "dtype": dtype,
+                   "encoder_depths": tuple(encoder_depths)}
 
 
 def _model(meta) -> SegmentationCNN:
     return SegmentationCNN(
         arch=meta["arch"], num_labels=meta["num_labels"],
+        encoder_depths=meta.get("encoder_depths", (3, 4, 23, 3)),
         dtype=jnp.bfloat16 if meta["dtype"] == "bfloat16" else jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("arch", "num_labels", "dtype"),
+@functools.partial(jax.jit,
+                   static_argnames=("arch", "num_labels", "dtype",
+                                    "encoder_depths"),
                    donate_argnames=("state",))
 def cnn_train_step(state: TrainState, images: Array, masks: Array, rng,
-                   arch: str, num_labels: int = 1, dtype: str = "float32"):
-    meta = {"arch": arch, "num_labels": num_labels, "dtype": dtype}
+                   arch: str, num_labels: int = 1, dtype: str = "float32",
+                   encoder_depths=(3, 4, 23, 3)):
+    meta = {"arch": arch, "num_labels": num_labels, "dtype": dtype,
+            "encoder_depths": encoder_depths}
     model = _model(meta)
 
     def loss_fn(params):
@@ -82,10 +91,14 @@ def cnn_train_step(state: TrainState, images: Array, masks: Array, rng,
     return state, loss, jax.nn.sigmoid(pred)
 
 
-@functools.partial(jax.jit, static_argnames=("arch", "num_labels", "dtype"))
+@functools.partial(jax.jit,
+                   static_argnames=("arch", "num_labels", "dtype",
+                                    "encoder_depths"))
 def cnn_eval_step(state: TrainState, images: Array, masks: Array,
-                  arch: str, num_labels: int = 1, dtype: str = "float32"):
-    meta = {"arch": arch, "num_labels": num_labels, "dtype": dtype}
+                  arch: str, num_labels: int = 1, dtype: str = "float32",
+                  encoder_depths=(3, 4, 23, 3)):
+    meta = {"arch": arch, "num_labels": num_labels, "dtype": dtype,
+            "encoder_depths": encoder_depths}
     model = _model(meta)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     logits = model.apply(variables, images, train=False)
