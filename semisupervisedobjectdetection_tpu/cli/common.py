@@ -141,12 +141,23 @@ def make_loaders(dcfg: DataConfig, seed: int = 0,
         # an empty loader when the dataset is smaller than one batch (tiny
         # synthetic smoke runs); clamp the batch size instead.
         bs = min(dcfg.batch_size, max(len(ds), 1))
-        out[flag] = TileLoader(
-            ds, bs, shuffle=dcfg.shuffle,
-            drop_last=dcfg.drop_last, seed=seed,
-            num_shards=jax.process_count(),
-            shard_index=jax.process_index())
+        out[flag] = _make_loader(ds, bs, dcfg, seed)
     return out
+
+
+def _make_loader(ds, bs, dcfg, seed):
+    """Prefer the native (C++ threaded) decode path when built; fall back
+    to the PIL loader. Multi-host sharding only on the Python loader for
+    now (single-host pods use the native path)."""
+    from semisupervisedobjectdetection_tpu.data import native
+
+    if jax.process_count() == 1 and native.available():
+        return native.NativeBatchLoader(
+            ds, bs, shuffle=dcfg.shuffle, drop_last=dcfg.drop_last,
+            seed=seed)
+    return TileLoader(
+        ds, bs, shuffle=dcfg.shuffle, drop_last=dcfg.drop_last, seed=seed,
+        num_shards=jax.process_count(), shard_index=jax.process_index())
 
 
 def device_train_batch(rng, images_u8, masks_u8, dcfg: DataConfig):
