@@ -65,7 +65,7 @@ def main() -> None:
     else:
         cfg = mit_b5(dtype="bfloat16")
         size = args.size or 512
-        batch = args.batch or 8
+        batch = args.batch or 16   # best measured point (B=32 OOMs)
         iters = args.iters
 
     tc = TrainConfig()
