@@ -1,0 +1,64 @@
+"""Data-parallel correctness on the 8-device virtual mesh: a sharded train
+step must match the single-device result (XLA inserts the grad all-reduce;
+results identical up to fp reduction order)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from semisupervisedobjectdetection_tpu.core.config import (
+    TrainConfig,
+    mit_b0,
+)
+from semisupervisedobjectdetection_tpu.models.segformer import SegFormer
+from semisupervisedobjectdetection_tpu.parallel.mesh import (
+    get_mesh,
+    replicate,
+    shard_batch,
+)
+from semisupervisedobjectdetection_tpu.train.state import TrainState
+from semisupervisedobjectdetection_tpu.train.supervised import train_step
+
+TINY = mit_b0(depths=(1, 1, 1, 1), hidden_sizes=(8, 16, 32, 64),
+              num_heads=(1, 2, 4, 8), decoder_hidden=32)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_step_matches_single_device():
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 1, (8, 64, 64, 3)), jnp.float32)
+    masks = jnp.asarray(rng.uniform(0, 1, (8, 64, 64)) > 0.5, jnp.float32)
+    variables = jax.jit(SegFormer(TINY).init)(
+        jax.random.PRNGKey(0), imgs[:1])
+    tc = TrainConfig(lr=1e-3)
+
+    # single device
+    s1 = TrainState.create(variables, tc)
+    s1, loss1, _ = train_step(s1, imgs, masks, jax.random.PRNGKey(1), TINY)
+
+    # 8-device mesh
+    mesh = get_mesh()
+    s8 = replicate(mesh, TrainState.create(variables, tc))
+    bi, bm = shard_batch(mesh, (imgs, masks))
+    assert len(bi.sharding.device_set) == 8
+    s8, loss8, _ = train_step(s8, bi, bm, jax.random.PRNGKey(1), TINY)
+
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_graft_entry_lowers():
+    import __graft_entry__ as g
+
+    fn, (variables, images) = g.entry()
+    lowered = jax.jit(fn).lower(variables, images)
+    assert "512" in str(lowered.out_info.shape)
