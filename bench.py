@@ -49,6 +49,7 @@ def main() -> None:
     from semisupervisedobjectdetection_tpu.train.state import TrainState
     from semisupervisedobjectdetection_tpu.train.teacher_student import (
         labeled_step,
+        pseudo_label_infer_step,
         pseudo_label_step,
     )
 
@@ -63,7 +64,9 @@ def main() -> None:
         batch = args.batch or 2
         iters = min(args.iters, 3)
     else:
-        cfg = mit_b5(dtype="bfloat16")
+        # tanh-approx GELU: ~27% faster encoder forward; exact-erf stays
+        # the default for mIoU-parity runs (MiTConfig.gelu_approx doc).
+        cfg = mit_b5(dtype="bfloat16", gelu_approx=True)
         size = args.size or 512
         batch = args.batch or 16   # best measured point (B=32 OOMs)
         iters = args.iters
@@ -82,8 +85,14 @@ def main() -> None:
     sup_w = jnp.asarray(0.8)
     update_t = jnp.asarray(True)
 
-    def one_step(teacher, student):
-        out = pseudo_label_step(teacher, images, update_t, cfg)
+    def one_step(teacher, student, step_idx):
+        # The reference self-trains the teacher on pseudo-labels only every
+        # 4th epoch (`segFormer_semi_teacherstudent_main.py:89-90`); the
+        # benchmark reproduces that 1-in-4 mix of grad/no-grad phases.
+        if step_idx % 4 == 0:
+            out = pseudo_label_step(teacher, images, update_t, cfg)
+        else:
+            out = pseudo_label_infer_step(teacher, images, cfg)
         lout = labeled_step(out.teacher_state, student, images, masks,
                             sup_w, cfg, denoise_label=True)
         return lout.teacher_state, lout.student_state, lout
@@ -93,18 +102,22 @@ def main() -> None:
         # the axon TPU tunnel; a device->host scalar transfer does.
         return float(lout.student_loss_total)
 
-    # Warmup / compile
+    # Warmup / compile both pseudo variants
     t0 = time.time()
-    teacher, student, lout = one_step(teacher, student)
+    teacher, student, lout = one_step(teacher, student, 0)
+    hard_sync(lout)
+    teacher, student, lout = one_step(teacher, student, 1)
     hard_sync(lout)
     compile_s = time.time() - t0
 
     times = []
-    inner = 5
+    inner = 4
+    step_idx = 0
     for _ in range(max(2, iters // 2)):
         t0 = time.time()
         for _ in range(inner):
-            teacher, student, lout = one_step(teacher, student)
+            teacher, student, lout = one_step(teacher, student, step_idx)
+            step_idx += 1
         hard_sync(lout)
         times.append((time.time() - t0) / inner)
 

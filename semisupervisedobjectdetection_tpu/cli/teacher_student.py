@@ -74,16 +74,23 @@ def main(argv=None):
     best = float("inf")
 
     for epoch in range(tc.epochs):
-        # -------- Phase A: unlabeled pseudo-labeling (`:80-97`)
+        # -------- Phase A: unlabeled pseudo-labeling (`:80-97`).
+        # The teacher self-trains only every 4th epoch (`:89-90`), so the
+        # other epochs run the cheaper no-grad inference variant.
         images_used = 0
         pseudo_losses = []
-        update_teacher = jnp.asarray(epoch % 4 == 0)
+        update_epoch = epoch % 4 == 0
         for images_u8, _ in loaders["pseudo"]:
             rng, aug_rng = jax.random.split(rng)
             imgs, _ = common.device_train_batch(aug_rng, images_u8, None,
                                                 dcfg)
-            out = ts.pseudo_label_step(teacher, imgs, update_teacher, cfg,
-                                       threshold=args.threshold)
+            if update_epoch:
+                out = ts.pseudo_label_step(teacher, imgs,
+                                           jnp.asarray(True), cfg,
+                                           threshold=args.threshold)
+            else:
+                out = ts.pseudo_label_infer_step(
+                    teacher, imgs, cfg, threshold=args.threshold)
             teacher = out.teacher_state
             images_used += int(out.n_kept)
             if np.isfinite(float(out.loss)):

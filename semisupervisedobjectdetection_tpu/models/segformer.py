@@ -198,6 +198,7 @@ class MixFFN(nn.Module):
     mlp_hidden: int
     hidden_dropout: float
     dtype: Any
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x: Array, h: int, w: int,
@@ -210,7 +211,7 @@ class MixFFN(nn.Module):
                     feature_group_count=self.mlp_hidden, dtype=self.dtype,
                     name="dwconv")(x)
         x = x.reshape(b, h * w, self.mlp_hidden)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.gelu_approx)
         x = nn.Dropout(self.hidden_dropout, deterministic=deterministic)(x)
         x = nn.Dense(self.hidden_size, dtype=self.dtype,
                      kernel_init=dense_init, name="dense2")(x)
@@ -241,6 +242,7 @@ class Block(nn.Module):
     dtype: Any
     deterministic: bool
     attn_impl: str = "xla"
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, carry, per_layer):
@@ -279,7 +281,8 @@ class Block(nn.Module):
 
         mlp_out = MixFFN(self.hidden_size, int(self.hidden_size *
                                                self.mlp_ratio),
-                         self.hidden_dropout, self.dtype, name="mlp")(
+                         self.hidden_dropout, self.dtype,
+                         self.gelu_approx, name="mlp")(
             nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
                          name="layer_norm_2")(tokens),
             h, w, self.deterministic)
@@ -366,7 +369,7 @@ class MiTEncoder(nn.Module):
                 c, cfg.num_heads[i], cfg.sr_ratios[i], cfg.mlp_ratio,
                 cfg.attention_dropout, cfg.hidden_dropout,
                 cfg.layer_norm_eps, dtype, self.deterministic,
-                cfg.attn_impl, name=f"block_{i}")(
+                cfg.attn_impl, cfg.gelu_approx, name=f"block_{i}")(
                     (tokens.reshape(b, h, w, c), carried),
                     (stage_dprs, prompt_per_layer, prompt_shared))
 

@@ -73,6 +73,28 @@ def pseudo_label_step(teacher_state: TrainState, images: Array,
                          labels.pseudo_mask, labels.keep)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "threshold",
+                                             "confident_threshold"))
+def pseudo_label_infer_step(teacher_state: TrainState, images: Array,
+                            cfg: MiTConfig,
+                            threshold: float =
+                            pseudo.PSEUDO_MASK_THRESHOLD,
+                            confident_threshold: float =
+                            pseudo.CONFIDENT_THRESHOLD) -> PseudoStepOut:
+    """Phase A on non-update epochs (3 of every 4, ref `:89`): teacher
+    forward + thresholding only, NO gradient computation — host code picks
+    this variant statically, saving the backward pass the gated
+    `pseudo_label_step` would still compute."""
+    variables = {"params": teacher_state.params}
+    if teacher_state.batch_stats:
+        variables["batch_stats"] = teacher_state.batch_stats
+    soft, _, _ = forward_masks(cfg, variables, images, train_mode=False)
+    labels = pseudo.threshold_pseudo_masks(
+        soft, threshold, confident_threshold, allow_throw_sample=True)
+    return PseudoStepOut(teacher_state, labels.loss, labels.n_kept,
+                         labels.pseudo_mask, labels.keep)
+
+
 class LabeledStepOut(NamedTuple):
     teacher_state: TrainState
     student_state: TrainState
