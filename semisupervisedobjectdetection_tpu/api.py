@@ -46,6 +46,25 @@ from semisupervisedobjectdetection_tpu.train import supervised as sup_steps
 from semisupervisedobjectdetection_tpu.train.state import TrainState
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "train_mode"))
+def _jit_forward_masks(cfg, variables, images, train_mode=False):
+    from semisupervisedobjectdetection_tpu.train.common import forward_masks
+
+    return forward_masks(cfg, variables, images, train_mode=train_mode)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "train_mode"))
+def _jit_forward_logits(cfg, variables, images, train_mode=False):
+    from semisupervisedobjectdetection_tpu.train.common import (
+        forward_logits,
+    )
+
+    return forward_logits(cfg, variables, images, train_mode=train_mode)
+
+
 def _to_nhwc(img: np.ndarray) -> np.ndarray:
     """Accept NHWC or (reference-style) NCHW float batches."""
     img = np.asarray(img, np.float32)
@@ -155,20 +174,21 @@ class SegFormerModel:
         """Forward + loss selection (ref `:103-139`). Returns masks, or
         (loss, masks[, cls_token]) when a target is given."""
         images = jnp.asarray(_to_nhwc(img))
-        pred = sup_steps.predict_step(self.state, images, self.cfg)
+        if output_cls_token and use_loss != "mse":
+            pred, cls_list, _ = _jit_forward_masks(
+                self.cfg, self.state.variables(), images, train_mode=False)
+            cls_for_output = cls_list[-1] if self.cfg.use_cls else None
+        else:
+            pred = sup_steps.predict_step(self.state, images, self.cfg)
+            cls_for_output = None
         if mask is None and use_loss != "mse":
             return np.asarray(pred)
         from semisupervisedobjectdetection_tpu import losses as L
 
         if use_loss == "mse":
             # image vs raw upsampled logits (ref `:133`)
-            from semisupervisedobjectdetection_tpu.train.common import (
-                forward_logits,
-            )
-            logits, cls_list, _ = jax.jit(
-                forward_logits, static_argnames=("cfg", "train_mode"))(
-                    self.cfg, self.state.variables(), images,
-                    train_mode=False)
+            logits, cls_list, _ = _jit_forward_logits(
+                self.cfg, self.state.variables(), images, train_mode=False)
             loss = L.mse_loss(images, logits,
                               divisor=images.shape[0] * 3)
             cls = cls_list[-1] if self.cfg.use_cls else None
@@ -182,7 +202,7 @@ class SegFormerModel:
                     target)
             else:
                 loss = L.dice_argmax_loss(pred, target)
-            cls = None
+            cls = cls_for_output
         if output_cls_token:
             return loss, np.asarray(pred), cls
         return loss, np.asarray(pred)

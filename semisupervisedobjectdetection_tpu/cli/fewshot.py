@@ -42,11 +42,17 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _eval_pair_ae(cfg, variables, img1, img2):
-    from semisupervisedobjectdetection_tpu.train.fewshot import (
-        _pair_ae_loss,
+def _eval_ae_recon(cfg, variables, imgs):
+    """Few-shot AE eval = reconstruction MSE only (the reference's eval
+    calls predict(use_loss='mse') without the inter/intra terms,
+    `segFormer_fewshot_learning.py:303-311`)."""
+    from semisupervisedobjectdetection_tpu import losses
+    from semisupervisedobjectdetection_tpu.train.common import (
+        forward_logits,
     )
-    return _pair_ae_loss(cfg, variables, img1, img2)
+
+    logits, _, _ = forward_logits(cfg, variables, imgs, train_mode=False)
+    return losses.mse_loss(imgs, logits, divisor=imgs.shape[0] * 3)
 
 
 class RoundRobin:
@@ -162,7 +168,7 @@ def main(argv=None):
             else:
                 v = {"params": state.params,
                      "batch_stats": state.batch_stats}
-                loss, _, _, _ = _eval_pair_ae(cfg, v, imgs, imgs)
+                loss = _eval_ae_recon(cfg, v, imgs)
             ev.append(float(loss))
         fps = len(eval_loaders["eval"]) / max(time.time() - t0, 1e-9)
         logger.log(epoch, train_loss=float(np.mean(ep_losses)),

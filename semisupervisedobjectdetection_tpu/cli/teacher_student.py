@@ -33,32 +33,15 @@ from semisupervisedobjectdetection_tpu.train import teacher_student as ts
 from semisupervisedobjectdetection_tpu.utils.logging import MetricLogger
 
 
-def main(argv=None):
-    p = common.base_parser(__doc__)
-    p.add_argument("--teacher-lr", type=float, default=5e-7)
-    p.add_argument("--student-lr", type=float, default=3e-5)
-    p.add_argument("--supervise-weight", type=float, default=0.8)
-    p.add_argument("--threshold", type=float, default=0.75,
-                   help="pseudo-mask threshold (best grid point `:289`)")
-    p.add_argument("--no-denoise", action="store_true")
-    p.add_argument("--reset-teacher", action="store_true",
-                   help="hard copy student->teacher every 5 epochs")
-    p.add_argument("--ema", type=float, default=0.0,
-                   help=">0 enables EMA teacher updates (build addition)")
-    args = p.parse_args(argv)
-    dcfg, tc = common.configs_from_args(args)
-    dcfg = common.ensure_data(args, dcfg, need_unlabeled=True)
-    loaders = common.make_loaders(dcfg, args.seed,
-                                  flags=("train", "eval", "pseudo"))
-    cfg = MIT_VARIANTS[args.variant](dtype=args.dtype)
-    logger = MetricLogger(args.metrics_csv)
-
+def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
+              student_lr, supervise_weight, threshold, epochs):
+    """One full teacher-student training run; returns best eval loss."""
     model = SegFormer(cfg)
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(args.seed),
         jnp.zeros((1, dcfg.img_h, dcfg.img_w, 3)))
-    teacher = TrainState.create(variables, tc, lr=args.teacher_lr)
-    student = TrainState.create(variables, tc, lr=args.student_lr)
+    teacher = TrainState.create(variables, tc, lr=teacher_lr)
+    student = TrainState.create(variables, tc, lr=student_lr)
     if args.pretrain_weight:
         from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
             restore_state,
@@ -70,10 +53,10 @@ def main(argv=None):
     ckpt_s = BestCheckpointer(args.checkpoint_dir, "ts_student")
     ckpt_t = BestCheckpointer(args.checkpoint_dir, "ts_teacher")
     rng = jax.random.PRNGKey(args.seed)
-    sup_w = jnp.asarray(args.supervise_weight)
+    sup_w = jnp.asarray(supervise_weight)
     best = float("inf")
 
-    for epoch in range(tc.epochs):
+    for epoch in range(epochs):
         # -------- Phase A: unlabeled pseudo-labeling (`:80-97`).
         # The teacher self-trains only every 4th epoch (`:89-90`), so the
         # other epochs run the cheaper no-grad inference variant.
@@ -87,10 +70,10 @@ def main(argv=None):
             if update_epoch:
                 out = ts.pseudo_label_step(teacher, imgs,
                                            jnp.asarray(True), cfg,
-                                           threshold=args.threshold)
+                                           threshold=threshold)
             else:
                 out = ts.pseudo_label_infer_step(
-                    teacher, imgs, cfg, threshold=args.threshold)
+                    teacher, imgs, cfg, threshold=threshold)
             teacher = out.teacher_state
             images_used += int(out.n_kept)
             if np.isfinite(float(out.loss)):
@@ -105,7 +88,7 @@ def main(argv=None):
                                                     masks_u8, dcfg)
             lout = ts.labeled_step(teacher, student, imgs, masks, sup_w,
                                    cfg, denoise_label=not args.no_denoise,
-                                   threshold=args.threshold)
+                                   threshold=threshold)
             teacher, student = lout.teacher_state, lout.student_state
             s_losses.append(float(lout.student_loss_total))
             t_losses.append(float(lout.teacher_loss))
@@ -147,6 +130,55 @@ def main(argv=None):
         if args.reset_teacher and epoch != 0 and epoch % 5 == 0:
             teacher = ts.copy_student_to_teacher(teacher, student)
             print("!!! teacher reset !!!")
+    return best
+
+
+def main(argv=None):
+    p = common.base_parser(__doc__)
+    p.add_argument("--teacher-lr", type=float, default=5e-7)
+    p.add_argument("--student-lr", type=float, default=3e-5)
+    p.add_argument("--supervise-weight", type=float, default=0.8)
+    p.add_argument("--threshold", type=float, default=0.75,
+                   help="pseudo-mask threshold (best grid point `:289`)")
+    p.add_argument("--no-denoise", action="store_true")
+    p.add_argument("--reset-teacher", action="store_true",
+                   help="hard copy student->teacher every 5 epochs")
+    p.add_argument("--ema", type=float, default=0.0,
+                   help=">0 enables EMA teacher updates (build addition)")
+    p.add_argument("--tune", action="store_true",
+                   help="random-order grid over supervise_weight x "
+                        "threshold (reference grid `:274-280`)")
+    args = p.parse_args(argv)
+    dcfg, tc = common.configs_from_args(args)
+    dcfg = common.ensure_data(args, dcfg, need_unlabeled=True)
+    loaders = common.make_loaders(dcfg, args.seed,
+                                  flags=("train", "eval", "pseudo"))
+    cfg = MIT_VARIANTS[args.variant](dtype=args.dtype)
+    logger = MetricLogger(args.metrics_csv)
+
+    if args.tune:
+        from semisupervisedobjectdetection_tpu.core.config import (
+            product_grid,
+        )
+
+        grid = product_grid([5e-7], [3e-5], [0.8, 0.7],
+                            [0.8, 0.85, 0.87], shuffle=True,
+                            seed=args.seed)
+        best, best_pt = float("inf"), None
+        for t_lr, s_lr, w, thr in grid:
+            loss = train_run(args, dcfg, tc, loaders, cfg, logger,
+                             teacher_lr=t_lr, student_lr=s_lr,
+                             supervise_weight=w, threshold=thr,
+                             epochs=max(tc.epochs // 5, 1))
+            print(f"w={w} thr={thr}: best eval {loss:.4f}")
+            if loss < best:
+                best, best_pt = loss, (t_lr, s_lr, w, thr)
+        print(f"best grid point: {best_pt} ({best:.4f})")
+    else:
+        train_run(args, dcfg, tc, loaders, cfg, logger,
+                  teacher_lr=args.teacher_lr, student_lr=args.student_lr,
+                  supervise_weight=args.supervise_weight,
+                  threshold=args.threshold, epochs=tc.epochs)
     logger.close()
 
 
