@@ -54,32 +54,46 @@ def main(argv=None):
                           depth=args.vit_depth or None)
     state = create_vit_state(model, tc, jax.random.PRNGKey(args.seed),
                              img_size=size)
-    seg_train, seg_eval, ae_train, pseudo_step = make_vit_steps(model)
+    (seg_train, seg_eval, ae_train, pseudo_step,
+     ts_labeled) = make_vit_steps(model)
+    # semi mode keeps a separate student (ref vit_semi_teacherstudent:
+    # teacher trains on GT+pseudo, student on the mixed loss)
+    student = (create_vit_state(model, tc, jax.random.PRNGKey(args.seed),
+                                img_size=size)
+               if args.mode == "semi" else None)
     ckpt = BestCheckpointer(args.checkpoint_dir, prefix=f"vit_{args.mode}")
     rng = jax.random.PRNGKey(args.seed)
     best = float("inf")
+    sup_w = jnp.asarray(0.5)
 
     for epoch in range(tc.epochs):
         tl = []
         if args.mode == "semi":
-            update = jnp.asarray(epoch % 4 == 0)
             for images_u8, _ in loaders["unlabeled"]:
                 rng, r = jax.random.split(rng)
                 imgs, _ = common.device_train_batch(r, images_u8, None,
                                                     dcfg)
-                state, loss, _ = pseudo_step(state, imgs, update)
+                state, loss, _ = pseudo_step(state, imgs,
+                                             jnp.asarray(True))
         for images_u8, masks_u8 in loaders["train"]:
             rng, r = jax.random.split(rng)
             if args.mode == "ae":
                 imgs, _ = common.device_train_batch(r, images_u8, None,
                                                     dcfg)
                 state, loss, _ = ae_train(state, imgs)
+            elif args.mode == "semi":
+                imgs, masks = common.device_train_batch(r, images_u8,
+                                                        masks_u8, dcfg)
+                state, student, loss, _ = ts_labeled(state, student, imgs,
+                                                     masks, sup_w)
             else:
                 imgs, masks = common.device_train_batch(r, images_u8,
                                                         masks_u8, dcfg)
                 state, loss, _ = seg_train(state, imgs, masks)
             tl.append(float(loss))
         state = state.scheduler_step()
+        if student is not None:
+            student = student.scheduler_step()
 
         t0 = time.time()
         ev = []
@@ -92,7 +106,10 @@ def main(argv=None):
                 out, _ = model.apply({"params": state.params}, imgs)
                 loss = patch_loss(out, imgs, args.patch_size)
             else:
-                loss, _ = seg_eval(state, imgs, masks)
+                # semi mode evaluates the student (the reference's best
+                # checkpoints come from the student)
+                loss, _ = seg_eval(student if student is not None
+                                   else state, imgs, masks)
             ev.append(float(loss))
         fps = len(loaders["eval"]) / max(time.time() - t0, 1e-9)
         train_loss = float(np.mean(tl)) if tl else 0.0

@@ -105,8 +105,10 @@ def make_vit_steps(model: ViTEncoderDecoder):
 
     @functools.partial(jax.jit, donate_argnames=("state",))
     def pseudo_step(state: TrainState, images: Array, update: Array):
-        """Teacher-student pseudo phase for the ViT variant
-        (`main_vit_based/vit_semi_teacherstudent_main.py:76-127`)."""
+        """Teacher pseudo phase for the ViT variant: self-train on
+        confidence-gated pseudo-labels of the unlabeled batch
+        (`main_vit_based/vit_semi_teacherstudent_main.py:81-94` — the ViT
+        script updates on EVERY batch, no epoch gating)."""
 
         def loss_fn(params):
             out, _ = model.apply({"params": params}, images)
@@ -119,4 +121,38 @@ def make_vit_steps(model: ViTEncoderDecoder):
         state = state.apply_gradients(grads, loss, enable=update)
         return state, loss, labels
 
-    return seg_train_step, seg_eval_step, ae_train_step, pseudo_step
+    @functools.partial(jax.jit,
+                       donate_argnames=("teacher_state", "student_state"))
+    def ts_labeled_step(teacher_state: TrainState,
+                        student_state: TrainState, images: Array,
+                        ground_truth: Array, supervise_weight: Array):
+        """ViT teacher-student labeled phase (`vit_semi_teacherstudent_
+        main.py:99-115`): teacher trains on GT; student trains on
+        supervise_weight*dice(student,GT) +
+        (1-supervise_weight)*dice(student, teacher_pred)."""
+
+        def t_loss_fn(params):
+            out, _ = model.apply({"params": params}, images)
+            pred = jax.nn.sigmoid(out[..., 0])
+            return losses.dice_loss(pred, ground_truth), \
+                jax.lax.stop_gradient(pred)
+
+        (t_loss, teacher_pred), t_grads = jax.value_and_grad(
+            t_loss_fn, has_aux=True)(teacher_state.params)
+        teacher_state = teacher_state.apply_gradients(t_grads, t_loss)
+
+        def s_loss_fn(params):
+            out, _ = model.apply({"params": params}, images)
+            pred = jax.nn.sigmoid(out[..., 0])
+            sup = losses.dice_loss(pred, ground_truth)
+            self_sup = losses.dice_loss(pred, teacher_pred)
+            return (supervise_weight * sup
+                    + (1.0 - supervise_weight) * self_sup), (sup, self_sup)
+
+        (s_loss, (sup, self_sup)), s_grads = jax.value_and_grad(
+            s_loss_fn, has_aux=True)(student_state.params)
+        student_state = student_state.apply_gradients(s_grads, s_loss)
+        return teacher_state, student_state, s_loss, t_loss
+
+    return (seg_train_step, seg_eval_step, ae_train_step, pseudo_step,
+            ts_labeled_step)

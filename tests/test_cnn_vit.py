@@ -73,19 +73,28 @@ def test_vit_seg_pipeline_trains(batch):
                           depth=2)
     state = create_vit_state(model, TrainConfig(lr=1e-3),
                              jax.random.PRNGKey(0), img_size=56)
-    seg_train, seg_eval, _, pseudo_step = make_vit_steps(model)
+    (seg_train, seg_eval, _, pseudo_step,
+     ts_labeled) = make_vit_steps(model)
     state, loss, pred = seg_train(state, imgs, masks)
     assert pred.shape == (2, 56, 56)
     assert np.isfinite(float(loss))
     state, ploss, labels = pseudo_step(state, imgs, jnp.asarray(True))
     assert labels.pseudo_mask.shape == (2, 56, 56)
 
+    # teacher-student labeled phase updates both models
+    student = create_vit_state(model, TrainConfig(lr=1e-3),
+                               jax.random.PRNGKey(9), img_size=56)
+    t2, s2, s_loss, t_loss = ts_labeled(state, student, imgs, masks,
+                                        jnp.asarray(0.5))
+    assert np.isfinite(float(s_loss)) and np.isfinite(float(t_loss))
+    state = t2
+
     # autoencoder variant reconstructs 3 channels (ref out_chans=3)
     ae_model = build_vit_seg(img_size=56, patch_size=14, variant="small",
                              depth=2, out_chans=3)
     ae_state = create_vit_state(ae_model, TrainConfig(lr=1e-3),
                                 jax.random.PRNGKey(1), img_size=56)
-    _, _, ae_train, _ = make_vit_steps(ae_model)
+    _, _, ae_train, _, _ = make_vit_steps(ae_model)
     ae_state, ae_loss, recon = ae_train(ae_state, imgs)
     assert recon.shape == (2, 56, 56, 3)
     assert np.isfinite(float(ae_loss))
