@@ -80,6 +80,8 @@ def main(argv=None):
                    choices=["dice", "dice_argmax", "bce"])
     p.add_argument("--predict", action="store_true",
                    help="eval-only from --pretrain-weight")
+    p.add_argument("--dump-masks",
+                   help="with --predict: dir for GT/pred mask overlays")
     p.add_argument("--tune-lr",
                    help="comma-separated lrs for grid search on 80/20 split")
     args = p.parse_args(argv)
@@ -115,13 +117,26 @@ def main(argv=None):
                            hf_weights=args.hf_weights)
     if args.predict:
         losses = []
-        for images_u8, masks_u8 in loaders["eval"]:
+        dumped = 0
+        for bi, (images_u8, masks_u8) in enumerate(loaders["eval"]):
             imgs, masks = common.device_eval_batch(images_u8, masks_u8,
                                                    dcfg)
-            loss, _ = model.eval_one_epoch(imgs, masks)
+            loss, pred = model.eval_one_epoch(imgs, masks)
             losses.append(float(loss))
+            if args.dump_masks:
+                # deterministic overlay dumps replacing the reference's
+                # visdom panels (`segFormer_main.py:26-32`)
+                for i in range(np.asarray(imgs).shape[0]):
+                    model.show_mask(
+                        f"{args.dump_masks}/b{bi:03d}_{i:02d}_gt.png",
+                        np.asarray(imgs)[i], np.asarray(masks)[i])
+                    model.show_mask(
+                        f"{args.dump_masks}/b{bi:03d}_{i:02d}_pred.png",
+                        np.asarray(imgs)[i], pred[i])
+                    dumped += 1
         print(f"eval loss: {np.mean(losses):.4f} "
-              f"(dice ~ {1 - np.mean(losses):.4f})")
+              f"(dice ~ {1 - np.mean(losses):.4f})"
+              + (f"; dumped {dumped} mask overlays" if dumped else ""))
         return
 
     with profile_trace(args.profile_dir):

@@ -100,6 +100,35 @@ def test_vit_seg_pipeline_trains(batch):
     assert np.isfinite(float(ae_loss))
 
 
+def test_cycle_loss():
+    """Re-encode consistency loss (ref `ViT_EncoderDecoder.py:69-75`)."""
+    from semisupervisedobjectdetection_tpu.models.vit_decoder import (
+        cycle_loss,
+    )
+    from semisupervisedobjectdetection_tpu.train.vit_seg import (
+        build_vit_seg,
+        create_vit_state,
+    )
+
+    model = build_vit_seg(img_size=28, patch_size=14, variant="small",
+                          depth=1, out_chans=3)
+    state = create_vit_state(model, TrainConfig(), jax.random.PRNGKey(0),
+                             img_size=28)
+    imgs = jnp.asarray(np.random.default_rng(4).uniform(
+        size=(2, 28, 28, 3)), jnp.float32)
+
+    def encode(x):
+        return model.apply({"params": state.params}, x,
+                           method=model.encode)
+
+    tokens = encode(imgs)
+    # identical reconstruction -> zero cycle loss
+    assert float(cycle_loss(encode, imgs, tokens)) < 1e-5
+    other = jnp.asarray(np.random.default_rng(5).uniform(
+        size=(2, 28, 28, 3)), jnp.float32)
+    assert float(cycle_loss(encode, other, tokens)) > 1e-3
+
+
 def test_patch_loss_zero_for_identical():
     from semisupervisedobjectdetection_tpu.models.vit_decoder import (
         patch_loss,
