@@ -51,10 +51,24 @@ def build_vit_seg(img_size: int = 512, patch_size: int = 14,
 
 
 def create_vit_state(model: ViTEncoderDecoder, tc: TrainConfig, rng,
-                     img_size: int = 512) -> TrainState:
+                     img_size: int = 512,
+                     froze_encoder: bool = False) -> TrainState:
+    """`froze_encoder=True` freezes the whole DINOv2 encoder (the
+    reference freezes all encoder blocks / parameters —
+    `ViT_EncoderDecoder.py:19-24`, `feature_points_matching_main.py:104`,
+    `ViT_AutoEncoder.py:18-20`)."""
+    from semisupervisedobjectdetection_tpu.train.state import (
+        trainable_mask_from,
+    )
+
     variables = jax.jit(model.init)(rng,
                                     jnp.zeros((1, img_size, img_size, 3)))
-    return TrainState.create(variables, tc)
+    mask = None
+    if froze_encoder:
+        mask = trainable_mask_from(
+            variables["params"], lambda path: path and
+            path[0] == "encoder")
+    return TrainState.create(variables, tc, trainable_mask=mask)
 
 
 def _apply(model, state, images):
