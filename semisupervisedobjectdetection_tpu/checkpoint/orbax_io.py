@@ -37,29 +37,79 @@ def save_state(path: str, state: TrainState) -> None:
     _ckptr().save(path, payload, force=True)
 
 
-def restore_state(path: str, template: TrainState) -> TrainState:
+def _merge_restore(template_tree, restored_tree, path=()):
+    """Overlay restored leaves onto the template wherever path+shape match
+    — the reference's strict=False semantics
+    (`segFormer_transfer_learning_main.py:26-27`) — with the num_labels
+    classifier-slice surgery (`SegFormerModel.py:24-28`): a checkpointed
+    multi-channel classifier head restores into a 1-channel model by
+    taking output channel 0."""
+    import jax
+    import numpy as np
+
+    if isinstance(template_tree, dict):
+        out = {}
+        for k, v in template_tree.items():
+            if isinstance(restored_tree, dict) and k in restored_tree:
+                out[k] = _merge_restore(v, restored_tree[k], path + (k,))
+            else:
+                out[k] = v
+        return out
+    t_shape = getattr(template_tree, "shape", None)
+    r_shape = getattr(restored_tree, "shape", None)
+    if t_shape == r_shape:
+        return restored_tree
+    if ("classifier" in path and t_shape is not None
+            and r_shape is not None and t_shape[-1] == 1
+            and len(t_shape) == len(r_shape)
+            and t_shape[:-1] == r_shape[:-1]):
+        return np.asarray(restored_tree)[..., 0:1]
+    return template_tree  # shape mismatch: keep fresh init
+
+
+def restore_state(path: str, template: TrainState,
+                  load_opt_state: Optional[bool] = None) -> TrainState:
     """Restore into the structure of `template` (which supplies tx/config).
 
-    Partial loads are allowed like the reference's strict=False
-    (`segFormer_transfer_learning_main.py:26-27`): missing subtrees keep the
-    template's values.
+    Partial/mismatched loads follow the reference's strict=False behavior:
+    missing or shape-incompatible leaves keep the template's values, and a
+    multi-channel classifier restores into num_labels=1 via channel-0
+    slicing. The optimizer state is only adopted when its structure matches
+    (warm starts across num_labels changes restart optimization, like the
+    reference — SURVEY.md §5 checkpoint row).
     """
-    import orbax.checkpoint as ocp
+    import jax
 
     path = os.path.abspath(path)
-    template_payload = {
-        "params": template.params,
-        "batch_stats": template.batch_stats,
-        "opt_state": template.opt_state,
-        "epoch": template.epoch,
-    }
-    restored = _ckptr().restore(path, item=template_payload)
-    return template.replace(
-        params=restored["params"],
-        batch_stats=restored["batch_stats"],
-        opt_state=restored["opt_state"],
-        epoch=restored["epoch"],
+    restored = _ckptr().restore(path)
+
+    params = _merge_restore(template.params, restored.get("params", {}))
+    batch_stats = _merge_restore(template.batch_stats,
+                                 restored.get("batch_stats", {}))
+
+    new = template.replace(
+        params=jax.tree.map(jnp_asarray, params),
+        batch_stats=jax.tree.map(jnp_asarray, batch_stats),
+        epoch=jnp_asarray(restored.get("epoch", template.epoch)),
     )
+    try:
+        t_leaves = jax.tree.leaves(template.opt_state)
+        r_leaves = jax.tree.leaves(restored.get("opt_state"))
+        if len(t_leaves) == len(r_leaves) and all(
+                getattr(a, "shape", None) == getattr(b, "shape", None)
+                for a, b in zip(t_leaves, r_leaves)):
+            flat_t = jax.tree_util.tree_structure(template.opt_state)
+            new = new.replace(opt_state=jax.tree_util.tree_unflatten(
+                flat_t, [jnp_asarray(x) for x in r_leaves]))
+    except Exception:
+        pass
+    return new
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
 
 
 def best_checkpoint_name(prefix: str, epoch: int, train_loss: float,
