@@ -64,9 +64,10 @@ def main() -> None:
         batch = args.batch or 2
         iters = min(args.iters, 3)
     else:
-        # tanh-approx GELU: ~27% faster encoder forward; exact-erf stays
-        # the default for mIoU-parity runs (MiTConfig.gelu_approx doc).
-        cfg = mit_b5(dtype="bfloat16", gelu_approx=True)
+        # tanh-approx GELU (~27% faster encoder fwd; exact-erf stays the
+        # default for mIoU-parity runs) + scan unroll 2 (XLA fuses across
+        # layer pairs; unroll 4 OOMs the two-model step at batch 16).
+        cfg = mit_b5(dtype="bfloat16", gelu_approx=True, scan_unroll=2)
         size = args.size or 512
         batch = args.batch or 16   # best measured point (B=32 OOMs)
         iters = args.iters

@@ -66,6 +66,10 @@ class MiTConfig:
     # transcendental dominates the VPU; approx differs by ~1e-3 relative).
     gelu_approx: bool = False
 
+    # Unroll factor for the per-stage layer scan (lets XLA fuse across
+    # consecutive layers at the cost of compile time / code size).
+    scan_unroll: int = 1
+
     @property
     def num_stages(self) -> int:
         return len(self.depths)

@@ -364,6 +364,7 @@ class MiTEncoder(nn.Module):
                             "droppath": True},
                 in_axes=((0, 0, nn.broadcast),),
                 length=depth,
+                unroll=min(cfg.scan_unroll, depth),
             )
             (spatial, carried), _ = ScannedBlock(
                 c, cfg.num_heads[i], cfg.sr_ratios[i], cfg.mlp_ratio,
