@@ -97,6 +97,10 @@ def main(argv=None):
     p.add_argument("--labeled-classified")
     p.add_argument("--unlabeled-classified")
     p.add_argument("--cls-loss-weight", type=float, default=0.0)
+    p.add_argument("--predict", action="store_true",
+                   help="eval-only from --pretrain-weight with CLS tokens "
+                        "(reference `prediction`, "
+                        "segFormer_fewshot_learning.py:27-41)")
     args = p.parse_args(argv)
     dcfg, tc = common.configs_from_args(args)
     if args.labeled_classified:
@@ -120,9 +124,28 @@ def main(argv=None):
         jax.random.PRNGKey(args.seed),
         jnp.zeros((1, dcfg.img_h, dcfg.img_w, 3)))
     state = TrainState.create(variables, tc)
+    if args.pretrain_weight:
+        from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
+            restore_state,
+        )
+        state = restore_state(args.pretrain_weight, state)
+        print("Pretrained model loaded")
     logger = MetricLogger(args.metrics_csv)
     rng = jax.random.PRNGKey(args.seed)
     pyrng = random.Random(args.seed)
+
+    if args.predict:
+        import numpy as _np
+
+        ev = []
+        for images_u8, masks_u8 in eval_loaders["eval"]:
+            imgs, masks = common.device_eval_batch(images_u8, masks_u8,
+                                                   dcfg)
+            loss, _ = eval_step(state, imgs, masks, cfg)
+            ev.append(float(loss))
+        print(f"eval loss: {_np.mean(ev):.4f} "
+              f"(dice ~ {1 - _np.mean(ev):.4f})")
+        return
 
     lab = category_loaders(dcfg, "labeled", args.seed)
     unlab = category_loaders(dcfg, "unlabeled", args.seed)

@@ -115,6 +115,23 @@ def test_prompt_tokens_do_not_change_spatial_token_count():
             (16, 16), (8, 8), (4, 4), (2, 2)]
 
 
+def test_scan_unroll_numerically_invariant():
+    """unroll only changes XLA scheduling, never results."""
+    from semisupervisedobjectdetection_tpu.core.config import mit_b0
+    from semisupervisedobjectdetection_tpu.models.segformer import SegFormer
+
+    x = jnp.asarray(np.random.default_rng(6).uniform(
+        size=(1, 32, 32, 3)), jnp.float32)
+    cfg1 = mit_b0(depths=(4, 1, 1, 1), hidden_sizes=(8, 16, 32, 64),
+                  num_heads=(1, 2, 4, 8), decoder_hidden=16)
+    m1 = SegFormer(cfg1)
+    v = jax.jit(m1.init)(jax.random.PRNGKey(0), x)
+    l1, _ = jax.jit(m1.apply)(v, x)
+    m2 = SegFormer(cfg1.replace(scan_unroll=2))
+    l2, _ = jax.jit(m2.apply)(v, x)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
 def test_gelu_approx_close_to_exact():
     from semisupervisedobjectdetection_tpu.core.config import mit_b0
     from semisupervisedobjectdetection_tpu.models.segformer import SegFormer
