@@ -84,6 +84,40 @@ def patch_to_pixel(patch_idx: int, h: int, w: int, n_patches: int
     return int(0.5 * ph + row * ph), int(0.5 * pw + col * pw)
 
 
+def match_pair(img1_u8: np.ndarray, img2_u8: np.ndarray, out_dir: str,
+               vit_params=None, vit_model=None) -> dict:
+    """Run both matchers on an image pair and write visualizations —
+    the reference script's per-pair flow
+    (`feature_points_matching_main.py:105-140`), PNGs instead of
+    cv2.imshow/visdom."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    src, dst = sift_match(img1_u8, img2_u8)
+    sift_png = draw_matches(img1_u8, img2_u8, src, dst,
+                            f"{out_dir}/sift.png")
+    result = {"sift_matches": len(src), "sift_png": sift_png}
+    if vit_model is not None and vit_params is not None:
+        import jax.numpy as jnp
+
+        f1 = vit_model.apply({"params": vit_params},
+                             jnp.asarray(img1_u8[None] / 255.0,
+                                         jnp.float32))
+        f2 = vit_model.apply({"params": vit_params},
+                             jnp.asarray(img2_u8[None] / 255.0,
+                                         jnp.float32))
+        pairs = vit_patch_match(f1["x_norm_patchtokens"][0],
+                                f2["x_norm_patchtokens"][0])
+        n = f1["x_norm_patchtokens"].shape[1]
+        h, w = img1_u8.shape[:2]
+        p1 = [patch_to_pixel(i, h, w, n)[::-1] for _, i, _ in pairs]
+        p2 = [patch_to_pixel(j, h, w, n)[::-1] for _, _, j in pairs]
+        result["vit_png"] = draw_matches(img1_u8, img2_u8, p1, p2,
+                                         f"{out_dir}/vit.png")
+        result["vit_pairs"] = pairs
+    return result
+
+
 def draw_matches(img1_u8: np.ndarray, img2_u8: np.ndarray,
                  pts1, pts2, out_path: str, limit: int = 10) -> str:
     """Side-by-side match visualization written to a PNG
@@ -96,3 +130,14 @@ def draw_matches(img1_u8: np.ndarray, img2_u8: np.ndarray,
                  (int(x2) + img1_u8.shape[1], int(y2)), (255, 255, 0), 2)
     cv2.imwrite(out_path, cv2.cvtColor(canvas, cv2.COLOR_RGB2BGR))
     return out_path
+
+
+if __name__ == "__main__":
+    import sys
+
+    from PIL import Image
+
+    a = np.asarray(Image.open(sys.argv[1]).convert("RGB"))
+    b = np.asarray(Image.open(sys.argv[2]).convert("RGB"))
+    out = sys.argv[3] if len(sys.argv) > 3 else "figures/matches"
+    print(match_pair(a, b, out))

@@ -145,3 +145,40 @@ def test_classified_categories(tmp_path):
     assert len(loaders) == 2
     imgs, masks = next(iter(loaders[0]))
     assert imgs.shape == (2, 48, 48, 3)
+
+
+def test_book_scan_decode(tmp_path):
+    """Grayscale book scans: 75-px watermark crop + replication to 3
+    channels (ref `archaeological_georgia_biostyle_dataloader.py:66,72-77`)."""
+    from PIL import Image
+
+    from semisupervisedobjectdetection_tpu.data.tiles import TileDataset
+
+    gray = (np.arange(200 * 150, dtype=np.uint32).reshape(200, 150)
+            % 255).astype(np.uint8)
+    d = tmp_path / "book"
+    d.mkdir()
+    Image.fromarray(gray).save(d / "site0001_bing.png")
+    ds = TileDataset(str(d), None, canvas=64, has_mask=False, book=True)
+    img, _ = ds[0]
+    assert img.shape == (64, 64, 3)
+    # channels replicated from the grayscale source
+    assert np.array_equal(img[..., 0], img[..., 1])
+
+
+def test_match_pair_writes_outputs(tmp_path):
+    from semisupervisedobjectdetection_tpu.data.synthetic import (
+        synthetic_tile,
+    )
+    from semisupervisedobjectdetection_tpu.utils.feature_matching import (
+        match_pair,
+    )
+
+    rng = np.random.default_rng(9)
+    img, _ = synthetic_tile(11, 128)
+    img = np.clip(img.astype(np.int16)
+                  + rng.integers(-40, 40, img.shape), 0, 255).astype(
+        np.uint8)
+    out = match_pair(img, img, str(tmp_path / "m"))
+    assert out["sift_matches"] >= 1
+    assert os.path.exists(out["sift_png"])
