@@ -69,6 +69,60 @@ def test_logits_match_torch_reference(torch_pair):
     np.testing.assert_allclose(ours, torch_logits, atol=2e-4, rtol=1e-3)
 
 
+def test_masks_and_metrics_bitwise_comparable(torch_pair):
+    """End-to-end: same weights + same input -> identical binarized masks
+    and matching dice/mIoU between the torch reference pipeline
+    (interpolate + sigmoid + >=0.5, `SegFormerModel.py:117-125` +
+    `Loss.py:84-86`) and ours."""
+    import torch
+
+    from semisupervisedobjectdetection_tpu.eval.metrics import (
+        binary_miou,
+        dice_score,
+    )
+    from semisupervisedobjectdetection_tpu.models.segformer import (
+        predict_masks,
+    )
+
+    hf_model, _ = torch_pair
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    gt = (rng.uniform(size=(2, 64, 64)) > 0.5).astype(np.float32)
+
+    with torch.no_grad():
+        t_logits = hf_model(torch.tensor(x)).logits
+        t_masks = torch.sigmoid(torch.nn.functional.interpolate(
+            t_logits, size=(64, 64), mode="bilinear",
+            align_corners=False)).squeeze(1).numpy()
+
+    flax_model = SegFormer(TINY)
+    variables = jax.jit(flax_model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    params, batch_stats = import_hf_model(
+        hf_model, TINY, variables["params"], variables["batch_stats"])
+    logits, _ = jax.jit(flax_model.apply)(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(x.transpose(0, 2, 3, 1)))
+    ours = np.asarray(predict_masks(logits, (64, 64)))
+
+    # soft masks agree tightly; binarized masks agree bitwise
+    np.testing.assert_allclose(ours, t_masks, atol=5e-5)
+    np.testing.assert_array_equal(ours >= 0.5, t_masks >= 0.5)
+
+    # and therefore the metrics match exactly at threshold 0.5
+    def np_dice(p, g):
+        pb = (p >= 0.5).astype(np.float64).reshape(2, -1)
+        gb = g.reshape(2, -1)
+        tp = (pb * gb).sum(1)
+        return np.mean((2 * tp + 1) / (pb.sum(1) + gb.sum(1) + 1))
+
+    assert abs(float(dice_score(jnp.asarray(ours), jnp.asarray(gt)))
+               - np_dice(t_masks, gt)) < 1e-6
+    assert abs(float(binary_miou(jnp.asarray(ours), jnp.asarray(gt)))
+               - float(binary_miou(jnp.asarray(t_masks),
+                                   jnp.asarray(gt)))) < 1e-7
+
+
 def test_classifier_mismatch_keeps_fresh_init(torch_pair):
     """HF ignore_mismatched_sizes semantics: a 150-class source classifier
     must NOT overwrite our 1-class head (`modeling_utils.py:3156-3159`)."""
