@@ -95,12 +95,17 @@ def main(argv=None):
         from semisupervisedobjectdetection_tpu.data.loader import (
             split_dataset,
         )
-        from semisupervisedobjectdetection_tpu.data.loader import TileLoader
 
         best_lr, best = None, float("inf")
         tr, va = split_dataset(loaders["train"].dataset, 0.8, args.seed)
-        sub = {"train": TileLoader(tr, dcfg.batch_size, seed=args.seed),
-               "eval": TileLoader(va, dcfg.batch_size, seed=args.seed)}
+        sub = {
+            "train": common._make_loader(
+                tr, min(dcfg.batch_size, max(len(tr), 1)), dcfg,
+                args.seed),
+            "eval": common._make_loader(
+                va, min(dcfg.batch_size, max(len(va), 1)), dcfg,
+                args.seed),
+        }
         for lr in [float(x) for x in args.tune_lr.split(",")]:
             model = SegFormerModel(lr=lr, train_config=tc, config=cfg)
             loss = train_loop(model, sub, dcfg,

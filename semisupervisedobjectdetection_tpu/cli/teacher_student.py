@@ -119,12 +119,13 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
                    teacher_eval=eval_t, images_used=images_used,
                    miou=float(np.mean(mious)) if mious else 0.0, fps=fps)
 
-        if args.checkpoint_dir:
-            if eval_s < best:
-                best = eval_s
+        if eval_s < best:
+            best = eval_s
+            if args.checkpoint_dir:
                 ckpt_s.maybe_save(student, epoch, train_loss, eval_s, fps)
-            if eval_t < best:
-                best = eval_t
+        if eval_t < best:
+            best = eval_t
+            if args.checkpoint_dir:
                 ckpt_t.maybe_save(teacher, epoch, train_loss, eval_t, fps)
 
         if args.reset_teacher and epoch != 0 and epoch % 5 == 0:

@@ -43,6 +43,10 @@ def main(argv=None):
     p.add_argument("--per-layer-prompts", action="store_true")
     p.add_argument("--tune", action="store_true",
                    help="grid search lr x frozen x token count")
+    p.add_argument("--tune-lrs", default="1e-4,5e-5,1e-5")
+    p.add_argument("--tune-tokens", default="1,10,100",
+                   help="token counts for --tune (reference grid "
+                        "{1,10,100}, `:181-184`)")
     args = p.parse_args(argv)
     dcfg, tc = common.configs_from_args(args)
     dcfg = common.ensure_data(args, dcfg)
@@ -54,8 +58,10 @@ def main(argv=None):
     tokens = tuple(int(x) for x in args.prompt_tokens.split(","))
 
     if args.tune:
-        grid = product_grid([1e-4, 5e-5, 1e-5], [tuple(frozen), (0, 1, 2)],
-                            [1, 10, 100], shuffle=True, seed=args.seed)
+        lrs = [float(x) for x in args.tune_lrs.split(",")]
+        toks = [int(x) for x in args.tune_tokens.split(",")]
+        grid = product_grid(lrs, [tuple(frozen), (0, 1, 2)],
+                            toks, shuffle=True, seed=args.seed)
         best, best_pt = float("inf"), None
         for lr, fz, tok in grid:
             model = build_model(args, tc, cfg, list(fz), (tok,) * 4,

@@ -116,7 +116,7 @@ class NativeBatchLoader:
             BING_WATERMARK_PX,
         )
 
-        self.ds = dataset
+        self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
@@ -125,19 +125,19 @@ class NativeBatchLoader:
         self.watermark = BING_WATERMARK_PX
 
     def __len__(self):
-        n = len(self.ds)
+        n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(
             -n // self.batch_size)
 
     def _load(self, sel):
-        paths = [self.ds.image_path(int(i)) for i in sel]
-        mask_paths = ([self.ds.mask_path(int(i)) for i in sel]
-                      if self.ds.has_mask else None)
+        paths = [self.dataset.image_path(int(i)) for i in sel]
+        mask_paths = ([self.dataset.mask_path(int(i)) for i in sel]
+                      if self.dataset.has_mask else None)
         return load_batch(paths, mask_paths, self.watermark,
-                          self.ds.canvas, self.threads)
+                          self.dataset.canvas, self.threads)
 
     def __iter__(self):
-        idx = np.arange(len(self.ds))
+        idx = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(idx)
         nb = len(self)
