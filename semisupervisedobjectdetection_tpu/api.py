@@ -174,11 +174,22 @@ class SegFormerModel:
         """Forward + loss selection (ref `:103-139`). Returns masks, or
         (loss, masks[, cls_token]) when a target is given."""
         images = jnp.asarray(_to_nhwc(img))
-        if output_cls_token and use_loss != "mse":
-            pred, cls_list, _ = _jit_forward_masks(
+        need_logits = use_loss in ("mse", "bce")
+        if need_logits or (output_cls_token and self.cfg.use_cls):
+            # One forward returning raw upsampled logits; masks derive from
+            # them so no second pass is needed.
+            logits, cls_list, _ = _jit_forward_logits(
                 self.cfg, self.state.variables(), images, train_mode=False)
-            cls_for_output = cls_list[-1] if self.cfg.use_cls else None
+            pred = jax.nn.sigmoid(logits)
+            if pred.ndim == 4 and pred.shape[-1] == 1:
+                pred = pred[..., 0]
+            # The reference forward returns sigmoid(cls_token[-1])
+            # (modeling_segformer.py:848-850).
+            cls_for_output = (jax.nn.sigmoid(
+                cls_list[-1].astype(jnp.float32))
+                if self.cfg.use_cls else None)
         else:
+            logits = None
             pred = sup_steps.predict_step(self.state, images, self.cfg)
             cls_for_output = None
         if mask is None and use_loss != "mse":
@@ -187,22 +198,21 @@ class SegFormerModel:
 
         if use_loss == "mse":
             # image vs raw upsampled logits (ref `:133`)
-            logits, cls_list, _ = _jit_forward_logits(
-                self.cfg, self.state.variables(), images, train_mode=False)
             loss = L.mse_loss(images, logits,
                               divisor=images.shape[0] * 3)
-            cls = cls_list[-1] if self.cfg.use_cls else None
         else:
             target = jnp.asarray(np.asarray(mask, np.float32))
             if use_loss == "dice":
                 loss = L.dice_loss(pred, target)
             elif use_loss == "bce":
-                loss = L.bce_with_logits_loss(
-                    jax.scipy.special.logit(jnp.clip(pred, 1e-6, 1 - 1e-6)),
-                    target)
+                # Real logits + the valid-pixel mask of the vendored model
+                # (labels >= 0 and != 255 — modeling_segformer.py:863-868).
+                lg = logits[..., 0] if logits.ndim == 4 else logits
+                valid = (target >= 0) & (target != 255)
+                loss = L.bce_with_logits_loss(lg, target, valid_mask=valid)
             else:
                 loss = L.dice_argmax_loss(pred, target)
-            cls = cls_for_output
+        cls = cls_for_output
         if output_cls_token:
             return loss, np.asarray(pred), cls
         return loss, np.asarray(pred)

@@ -66,6 +66,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--no-quirks", action="store_true",
                    help="disable reference-quirk parity (train prompts, "
                         "dropout on in supervised training)")
+    p.add_argument("--reference-eval-aug", action="store_true",
+                   help="quirk: run the randomized augmentation chain at "
+                        "eval time too, as the reference does "
+                        "(config.py:27-38)")
     return p
 
 
@@ -80,6 +84,8 @@ def configs_from_args(args) -> Tuple[DataConfig, TrainConfig]:
     )
     if args.batch_size:
         dcfg = dcfg.replace(batch_size=args.batch_size)
+    if getattr(args, "reference_eval_aug", False):
+        dcfg = dcfg.replace(reference_eval_aug=True)
     tc = TrainConfig()
     if args.epochs:
         tc = tc.replace(epochs=args.epochs)
@@ -170,8 +176,26 @@ def device_train_batch(rng, images_u8, masks_u8, dcfg: DataConfig):
                          with_mask=masks is not None)
 
 
-def device_eval_batch(images_u8, masks_u8, dcfg: DataConfig):
+_EVAL_AUG_COUNTER = [0]
+
+
+def device_eval_batch(images_u8, masks_u8, dcfg: DataConfig, rng=None):
+    """Host uint8 -> device float batch (eval chain).
+
+    With `dcfg.reference_eval_aug` the reference's randomized train chain
+    runs at eval time too (quirk — reference `config.py:27-38` is the
+    transform for every loader flag). The rng is derived from a process-local
+    counter when not supplied, keeping eval deterministic per run order.
+    """
     imgs = jnp.asarray(images_u8)
     masks = jnp.asarray(masks_u8) if masks_u8 is not None else None
+    if dcfg.reference_eval_aug:
+        if rng is None:
+            _EVAL_AUG_COUNTER[0] += 1
+            rng = jax.random.PRNGKey(_EVAL_AUG_COUNTER[0])
+        return augment_batch(rng, imgs, masks, crop=dcfg.crop,
+                             out_h=dcfg.img_h, out_w=dcfg.img_w,
+                             prob=dcfg.aug_prob,
+                             with_mask=masks is not None)
     return eval_batch(imgs, masks, out_h=dcfg.img_h, out_w=dcfg.img_w,
                       with_mask=masks is not None)

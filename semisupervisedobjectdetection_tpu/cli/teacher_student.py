@@ -54,26 +54,35 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
     ckpt_t = BestCheckpointer(args.checkpoint_dir, "ts_teacher")
     rng = jax.random.PRNGKey(args.seed)
     sup_w = jnp.asarray(supervise_weight)
-    best = float("inf")
+    # The reference semi script runs its forwards in TRAIN mode
+    # (`model.train()` at `:77-78` + default `isEval=True` predicts);
+    # reference_quirks threads that through. Improved mode (quirks off)
+    # uses eval-mode forwards for stable pseudo-labels.
+    train_mode = tc.reference_quirks
+    best_s = best_t = float("inf")
 
     for epoch in range(epochs):
         # -------- Phase A: unlabeled pseudo-labeling (`:80-97`).
-        # The teacher self-trains only every 4th epoch (`:89-90`), so the
-        # other epochs run the cheaper no-grad inference variant.
+        # Reference quirk: its every-4th-epoch teacher "update" is a no-op
+        # (loss built under `no_grad`, `:81-90`), so quirks mode never
+        # gradient-updates here; improved mode self-trains every 4th epoch.
         images_used = 0
         pseudo_losses = []
-        update_epoch = epoch % 4 == 0
+        update_epoch = (epoch % 4 == 0) and not tc.reference_quirks
         for images_u8, _ in loaders["pseudo"]:
-            rng, aug_rng = jax.random.split(rng)
+            rng, aug_rng, step_rng = jax.random.split(rng, 3)
             imgs, _ = common.device_train_batch(aug_rng, images_u8, None,
                                                 dcfg)
             if update_epoch:
                 out = ts.pseudo_label_step(teacher, imgs,
                                            jnp.asarray(True), cfg,
-                                           threshold=threshold)
+                                           threshold=threshold,
+                                           train_mode=train_mode,
+                                           rng=step_rng)
             else:
                 out = ts.pseudo_label_infer_step(
-                    teacher, imgs, cfg, threshold=threshold)
+                    teacher, imgs, cfg, threshold=threshold,
+                    train_mode=train_mode, rng=step_rng)
             teacher = out.teacher_state
             images_used += int(out.n_kept)
             if np.isfinite(float(out.loss)):
@@ -83,12 +92,13 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
         # -------- Phase B: labeled set trains both models (`:99-129`)
         s_losses, t_losses = [], []
         for images_u8, masks_u8 in loaders["train"]:
-            rng, aug_rng = jax.random.split(rng)
+            rng, aug_rng, step_rng = jax.random.split(rng, 3)
             imgs, masks = common.device_train_batch(aug_rng, images_u8,
                                                     masks_u8, dcfg)
             lout = ts.labeled_step(teacher, student, imgs, masks, sup_w,
                                    cfg, denoise_label=not args.no_denoise,
-                                   threshold=threshold)
+                                   threshold=threshold,
+                                   train_mode=train_mode, rng=step_rng)
             teacher, student = lout.teacher_state, lout.student_state
             s_losses.append(float(lout.student_loss_total))
             t_losses.append(float(lout.teacher_loss))
@@ -119,19 +129,21 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
                    teacher_eval=eval_t, images_used=images_used,
                    miou=float(np.mean(mious)) if mious else 0.0, fps=fps)
 
-        if eval_s < best:
-            best = eval_s
+        # Per-model bests (ref `:175-186` keeps independent teacher/student
+        # best checkpoints).
+        if eval_s < best_s:
+            best_s = eval_s
             if args.checkpoint_dir:
                 ckpt_s.maybe_save(student, epoch, train_loss, eval_s, fps)
-        if eval_t < best:
-            best = eval_t
+        if eval_t < best_t:
+            best_t = eval_t
             if args.checkpoint_dir:
                 ckpt_t.maybe_save(teacher, epoch, train_loss, eval_t, fps)
 
         if args.reset_teacher and epoch != 0 and epoch % 5 == 0:
             teacher = ts.copy_student_to_teacher(teacher, student)
             print("!!! teacher reset !!!")
-    return best
+    return min(best_s, best_t)
 
 
 def main(argv=None):

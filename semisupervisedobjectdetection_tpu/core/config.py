@@ -151,6 +151,11 @@ class DataConfig:
     few_shot_batch_size: int = 2
     drop_last: bool = True
     shuffle: bool = True
+    # Reference quirk: the albumentations chain (random crop + flips) runs
+    # at EVAL time too (`config.py:27-38` is the transform for every loader
+    # flag). Off by default because it makes eval metrics stochastic; turn
+    # on (CLI --reference-eval-aug) for a full-parity run.
+    reference_eval_aug: bool = False
 
     def replace(self, **kw) -> "DataConfig":
         return dataclasses.replace(self, **kw)

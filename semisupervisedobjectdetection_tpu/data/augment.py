@@ -126,8 +126,9 @@ def eval_batch(images_u8: Array, masks: Optional[Array] = None, *,
 
     The reference applies the SAME randomized chain at eval time
     (`config.py:27-38` is used for every flag) — a quirk we do not reproduce
-    by default because it makes eval metrics stochastic; pass eval batches
-    through `augment_batch` to match the reference exactly.
+    by default because it makes eval metrics stochastic; set
+    `DataConfig.reference_eval_aug` (CLI `--reference-eval-aug`) to route
+    eval batches through `augment_batch` and match the reference exactly.
     """
     imgs = images_u8.astype(jnp.float32) / 255.0
     b = imgs.shape[0]

@@ -167,11 +167,14 @@ class DinoViT(nn.Module):
         x, _ = Scanned(d, self.num_heads, self.mlp_ratio, self.ffn_layer,
                        self.init_values, dtype, self.deterministic,
                        name="blocks")(x, (dprs,))
+        # x_prenorm is the token stream BEFORE the final LayerNorm
+        # (ref `dinov2_source/vision_transformer.py:230-234`).
+        x_prenorm = x
         x = nn.LayerNorm(epsilon=1e-6, dtype=dtype, name="norm")(x)
         return {
             "x_norm_clstoken": x[:, 0],
             "x_norm_patchtokens": x[:, 1:],
-            "x_prenorm": x,
+            "x_prenorm": x_prenorm,
         }
 
 

@@ -53,8 +53,11 @@ def _pair_ae_loss(cfg: MiTConfig, variables: dict, img1: Array,
                                       train_mode=False)
     recon1 = losses.mse_loss(img1, logits1, divisor=b * 3)
     recon2 = losses.mse_loss(img2, logits2, divisor=b * 3)
-    c1 = cls1[-1].astype(jnp.float32)
-    c2 = cls2[-1].astype(jnp.float32)
+    # The reference forward returns sigmoid(cls_token[-1])
+    # (modeling_segformer.py:848-850), so the cosine losses see the
+    # activated token, not the raw carried CLS.
+    c1 = jax.nn.sigmoid(cls1[-1].astype(jnp.float32))
+    c2 = jax.nn.sigmoid(cls2[-1].astype(jnp.float32))
     inter = losses.inter_domain_loss(c1, c2)
     intra1 = losses.intra_domain_loss(c1)
     intra2 = losses.intra_domain_loss(c2)
@@ -124,8 +127,10 @@ def fewshot_seg_step(state: TrainState, img1: Array, mask1: Array,
         l1 = losses.dice_loss(pred1, mask1)
         l2 = losses.dice_loss(pred2, mask2)
         if cls_loss_weight > 0.0:
-            c1 = cls1[-1].astype(jnp.float32)
-            c2 = cls2[-1].astype(jnp.float32)
+            # sigmoid first, matching the reference forward's returned token
+            # (modeling_segformer.py:848-850).
+            c1 = jax.nn.sigmoid(cls1[-1].astype(jnp.float32))
+            c2 = jax.nn.sigmoid(cls2[-1].astype(jnp.float32))
             inter = losses.inter_domain_loss(c1, c2)
             s1 = (l1 + cls_loss_weight * inter
                   + cls_loss_weight * losses.intra_domain_loss(c1)) / 3.0

@@ -31,19 +31,35 @@ from flax import struct
 from semisupervisedobjectdetection_tpu.core.config import TrainConfig
 
 
+_TRANSFORM_CACHE: dict = {}
+
+
 def make_transform(tc: TrainConfig, trainable_mask=None
                    ) -> optax.GradientTransformation:
     """Gradient transform WITHOUT the learning rate (applied separately so
-    the per-epoch exponential decay stays a TrainState scalar)."""
-    chain = optax.chain(
-        optax.clip(tc.grad_clip_value),
-        optax.add_decayed_weights(tc.weight_decay),
-        optax.scale_by_adam(b1=tc.adam_b1, b2=tc.adam_b2),
-        optax.scale(-1.0),
-    )
+    the per-epoch exponential decay stays a TrainState scalar).
+
+    Memoized on the optimizer constants (+ mask structure): `tx` is a static
+    field of TrainState, and a fresh closure per `TrainState.create` would
+    re-trace every jitted step — tune loops (`cli/* --tune`) would recompile
+    each grid point (~200s per B5 compile on TPU).
+    """
+    key = (tc.grad_clip_value, tc.weight_decay, tc.adam_b1, tc.adam_b2)
     if trainable_mask is not None:
-        chain = optax.masked(chain, trainable_mask)
-    return chain
+        flat, treedef = jax.tree_util.tree_flatten(trainable_mask)
+        key = key + (tuple(flat), treedef)
+    tx = _TRANSFORM_CACHE.get(key)
+    if tx is None:
+        tx = optax.chain(
+            optax.clip(tc.grad_clip_value),
+            optax.add_decayed_weights(tc.weight_decay),
+            optax.scale_by_adam(b1=tc.adam_b1, b2=tc.adam_b2),
+            optax.scale(-1.0),
+        )
+        if trainable_mask is not None:
+            tx = optax.masked(tx, trainable_mask)
+        _TRANSFORM_CACHE[key] = tx
+    return tx
 
 
 class TrainState(struct.PyTreeNode):
@@ -53,9 +69,12 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     epoch: jax.Array                       # f32 scalar, drives lr decay
+    # base_lr / lr_decay are TRACED leaves, not static fields: tune grids
+    # (`cli/* --tune`) sweep lr, and a static lr would re-jit every step
+    # per grid point (~200s per B5 compile on TPU).
+    base_lr: jax.Array
+    lr_decay: jax.Array
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
-    base_lr: float = struct.field(pytree_node=False)
-    lr_decay: float = struct.field(pytree_node=False)
     trainable_mask: Any = struct.field(pytree_node=False, default=None)
 
     @property
@@ -79,9 +98,10 @@ class TrainState(struct.PyTreeNode):
             batch_stats=batch_stats,
             opt_state=tx.init(params),
             epoch=jnp.zeros((), jnp.float32),
+            base_lr=jnp.asarray(lr if lr is not None else tc.lr,
+                                jnp.float32),
+            lr_decay=jnp.asarray(tc.lr_decay, jnp.float32),
             tx=tx,
-            base_lr=float(lr if lr is not None else tc.lr),
-            lr_decay=tc.lr_decay,
             trainable_mask=trainable_mask,
         )
 

@@ -18,6 +18,31 @@ trains on dice(orig_pred, denoised); the student trains on
 NOTE: the reference is NOT mean-teacher/EMA — the teacher takes its own
 gradient steps, with an optional hard copy-from-student every 5 epochs
 (`:202-204`, `reset_teacher`); `copy_student_to_teacher` provides that.
+
+Train-mode semantics: the reference semi script calls `model.train()` at
+epoch start (`:77-78`) and `predict()` with default `isEval=True`, so —
+unlike the supervised workload's eval-mode quirk — its semi forwards run in
+TRAIN mode: drop-path/dropout active, decode-head BatchNorm using batch
+stats and updating running stats. Every step here takes a `train_mode` flag
+(+ `rng` when True) reproducing that; the CLI threads
+`TrainConfig.reference_quirks` into it. `train_mode=False` is the
+deliberate improved mode (stable eval-mode pseudo-labels).
+
+Documented deltas from the reference (kept in BOTH modes):
+- Phase A every-4th-epoch teacher "self-training" is dead code in the
+  reference: the loss is built from `predict()` under `torch.no_grad`, so
+  backward populates no grads and the optimizer step is a no-op
+  (`:81-90`). With `reference_quirks=True` the CLI reproduces the no-op by
+  never gradient-updating the teacher in phase A; `pseudo_label_step`'s
+  real update is the improved mode.
+- In the `denoise_label=False` branch the student's target is the
+  teacher's PRE-update prediction (one forward serves both the teacher
+  loss and the target), whereas the reference runs a fresh `no_grad`
+  predict AFTER the teacher update (`:105-108`) — and also calls
+  `train_from_loss` twice on the same loss there (double Adam step on
+  identical grads), which is not reproducible under optax without
+  contrivance. Single-update + pre-update-mask is the chosen
+  interpretation.
 """
 
 from __future__ import annotations
@@ -46,13 +71,16 @@ class PseudoStepOut(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "threshold",
-                                             "confident_threshold"),
+                                             "confident_threshold",
+                                             "train_mode"),
                    donate_argnames=("teacher_state",))
 def pseudo_label_step(teacher_state: TrainState, images: Array,
                       update_teacher: Array, cfg: MiTConfig,
                       threshold: float = pseudo.PSEUDO_MASK_THRESHOLD,
                       confident_threshold: float =
-                      pseudo.CONFIDENT_THRESHOLD) -> PseudoStepOut:
+                      pseudo.CONFIDENT_THRESHOLD,
+                      train_mode: bool = False,
+                      rng: Array | None = None) -> PseudoStepOut:
     """Phase A: pseudo-label an unlabeled batch; optionally self-train the
     teacher on the confident samples (`:80-97`)."""
 
@@ -60,37 +88,48 @@ def pseudo_label_step(teacher_state: TrainState, images: Array,
         variables = {"params": params}
         if teacher_state.batch_stats:
             variables["batch_stats"] = teacher_state.batch_stats
-        soft, _, _ = forward_masks(cfg, variables, images, train_mode=False)
+        soft, _, new_stats = forward_masks(cfg, variables, images,
+                                           train_mode=train_mode, rng=rng)
         labels = pseudo.threshold_pseudo_masks(
             soft, threshold, confident_threshold, allow_throw_sample=True)
-        return labels.loss, labels
+        return labels.loss, (labels, new_stats)
 
-    (loss, labels), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        teacher_state.params)
+    (loss, (labels, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(teacher_state.params)
     new_state = teacher_state.apply_gradients(grads, loss,
                                               enable=update_teacher)
+    if new_stats is not None:
+        # BN running stats update on every train-mode forward regardless of
+        # the optimizer gate (torch semantics).
+        new_state = new_state.replace(batch_stats=new_stats)
     return PseudoStepOut(new_state, loss, labels.n_kept,
                          labels.pseudo_mask, labels.keep)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "threshold",
-                                             "confident_threshold"))
+                                             "confident_threshold",
+                                             "train_mode"))
 def pseudo_label_infer_step(teacher_state: TrainState, images: Array,
                             cfg: MiTConfig,
                             threshold: float =
                             pseudo.PSEUDO_MASK_THRESHOLD,
                             confident_threshold: float =
-                            pseudo.CONFIDENT_THRESHOLD) -> PseudoStepOut:
-    """Phase A on non-update epochs (3 of every 4, ref `:89`): teacher
-    forward + thresholding only, NO gradient computation — host code picks
-    this variant statically, saving the backward pass the gated
-    `pseudo_label_step` would still compute."""
+                            pseudo.CONFIDENT_THRESHOLD,
+                            train_mode: bool = False,
+                            rng: Array | None = None) -> PseudoStepOut:
+    """Phase A without a teacher update: the reference's phase-A step is a
+    no-op (grads disconnected under `no_grad`, ref `:81-90`), so host code
+    under `reference_quirks` always uses this variant; improved mode uses it
+    on non-update epochs (3 of every 4, ref `:89`) to skip the backward."""
     variables = {"params": teacher_state.params}
     if teacher_state.batch_stats:
         variables["batch_stats"] = teacher_state.batch_stats
-    soft, _, _ = forward_masks(cfg, variables, images, train_mode=False)
+    soft, _, new_stats = forward_masks(cfg, variables, images,
+                                       train_mode=train_mode, rng=rng)
     labels = pseudo.threshold_pseudo_masks(
         soft, threshold, confident_threshold, allow_throw_sample=True)
+    if new_stats is not None:
+        teacher_state = teacher_state.replace(batch_stats=new_stats)
     return PseudoStepOut(teacher_state, labels.loss, labels.n_kept,
                          labels.pseudo_mask, labels.keep)
 
@@ -105,15 +144,19 @@ class LabeledStepOut(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "denoise_label",
-                                             "threshold"),
+                                             "threshold", "train_mode"),
                    donate_argnames=("teacher_state", "student_state"))
 def labeled_step(teacher_state: TrainState, student_state: TrainState,
                  images: Array, ground_truth: Array,
                  supervise_weight: Array, cfg: MiTConfig,
                  denoise_label: bool = True,
-                 threshold: float = pseudo.PSEUDO_MASK_THRESHOLD
-                 ) -> LabeledStepOut:
+                 threshold: float = pseudo.PSEUDO_MASK_THRESHOLD,
+                 train_mode: bool = False,
+                 rng: Array | None = None) -> LabeledStepOut:
     """Phase B: one labeled batch updates BOTH models (`:99-129`)."""
+    t_rng = s_rng = None
+    if rng is not None:
+        t_rng, s_rng = jax.random.split(rng)
 
     def t_variables(params):
         v = {"params": params}
@@ -123,43 +166,54 @@ def labeled_step(teacher_state: TrainState, student_state: TrainState,
 
     if denoise_label:
         def teacher_loss_fn(params):
-            orig, _, _ = forward_masks(cfg, t_variables(params), images,
-                                       train_mode=False)
+            orig, _, t_stats = forward_masks(cfg, t_variables(params),
+                                             images, train_mode=train_mode,
+                                             rng=t_rng)
             denoised = pseudo.denoise_labels(
                 jax.lax.stop_gradient(orig), ground_truth, threshold)
             # dice(orig_pred, denoised_mask) (`:117`)
             loss = losses.dice_loss(orig, denoised)
-            return loss, denoised
+            return loss, (denoised, t_stats)
 
-        (teacher_loss, teacher_mask), t_grads = jax.value_and_grad(
-            teacher_loss_fn, has_aux=True)(teacher_state.params)
+        (teacher_loss, (teacher_mask, t_stats)), t_grads = \
+            jax.value_and_grad(teacher_loss_fn, has_aux=True)(
+                teacher_state.params)
     else:
         def teacher_loss_fn(params):
-            pred, _, _ = forward_masks(cfg, t_variables(params), images,
-                                       train_mode=False)
-            # plain supervised teacher update (`:105`), teacher mask for the
-            # student is its own prediction under stop-grad (`:107-108`)
+            pred, _, t_stats = forward_masks(cfg, t_variables(params),
+                                             images, train_mode=train_mode,
+                                             rng=t_rng)
+            # plain supervised teacher update (`:105`); the student's target
+            # is the teacher's PRE-update prediction under stop-grad (see
+            # module docstring for the delta vs the reference's post-update
+            # fresh predict at `:107-108`).
             loss = losses.dice_loss(pred, ground_truth)
-            return loss, jax.lax.stop_gradient(pred)
+            return loss, (jax.lax.stop_gradient(pred), t_stats)
 
-        (teacher_loss, teacher_mask), t_grads = jax.value_and_grad(
-            teacher_loss_fn, has_aux=True)(teacher_state.params)
+        (teacher_loss, (teacher_mask, t_stats)), t_grads = \
+            jax.value_and_grad(teacher_loss_fn, has_aux=True)(
+                teacher_state.params)
 
     teacher_state = teacher_state.apply_gradients(t_grads, teacher_loss)
+    if t_stats is not None:
+        teacher_state = teacher_state.replace(batch_stats=t_stats)
 
     def student_loss_fn(params):
         v = {"params": params}
         if student_state.batch_stats:
             v["batch_stats"] = student_state.batch_stats
-        pred, _, _ = forward_masks(cfg, v, images, train_mode=False)
+        pred, _, s_stats = forward_masks(cfg, v, images,
+                                         train_mode=train_mode, rng=s_rng)
         sup = losses.dice_loss(pred, ground_truth)
         self_sup = losses.dice_loss(pred, teacher_mask)
         total = supervise_weight * sup + (1.0 - supervise_weight) * self_sup
-        return total, (sup, self_sup)
+        return total, (sup, self_sup, s_stats)
 
-    (total, (sup, self_sup)), s_grads = jax.value_and_grad(
+    (total, (sup, self_sup, s_stats)), s_grads = jax.value_and_grad(
         student_loss_fn, has_aux=True)(student_state.params)
     student_state = student_state.apply_gradients(s_grads, total)
+    if s_stats is not None:
+        student_state = student_state.replace(batch_stats=s_stats)
 
     return LabeledStepOut(teacher_state, student_state, total, teacher_loss,
                           sup, self_sup)

@@ -1,0 +1,149 @@
+"""Regression tests for round-2 parity fixes:
+
+- DinoViT `x_prenorm` returns the PRE-final-LayerNorm stream
+  (ref `dinov2_source/vision_transformer.py:230-234`).
+- Teacher-student steps support train-mode forwards (BN running-stat
+  updates), the reference semi script's actual mode
+  (`segFormer_semi_teacherstudent_main.py:77-78`).
+- `api.predict(use_loss='bce')` computes BCE on REAL upsampled logits with
+  the vendored model's valid mask (`modeling_segformer.py:863-868`), not on
+  logits reconstructed from clipped sigmoid outputs.
+- CLS tokens handed to the few-shot cosine losses / API callers are
+  sigmoid-activated, as the reference forward returns them
+  (`modeling_segformer.py:848-850`).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from semisupervisedobjectdetection_tpu.core.config import (
+    TrainConfig,
+    mit_b0,
+)
+from semisupervisedobjectdetection_tpu.models.segformer import SegFormer
+from semisupervisedobjectdetection_tpu.models.vit import DinoViT
+from semisupervisedobjectdetection_tpu.train.state import TrainState
+from semisupervisedobjectdetection_tpu.train import teacher_student as ts
+
+TINY = mit_b0(depths=(1, 1, 1, 1), hidden_sizes=(8, 16, 32, 64),
+              num_heads=(1, 2, 4, 8), decoder_hidden=32)
+
+
+def _batch(b=2, s=64):
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 1, (b, s, s, 3)), jnp.float32)
+    masks = jnp.asarray(rng.uniform(0, 1, (b, s, s)) > 0.6, jnp.float32)
+    return imgs, masks
+
+
+def test_vit_x_prenorm_is_pre_layernorm():
+    model = DinoViT(img_size=32, patch_size=8, embed_dim=32, depth=2,
+                    num_heads=2)
+    x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (2, 32, 32, 3)),
+                    jnp.float32)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    out = jax.jit(model.apply)(v, x)
+    pre = out["x_prenorm"]
+    normed = jnp.concatenate(
+        [out["x_norm_clstoken"][:, None], out["x_norm_patchtokens"]], axis=1)
+    # pre-norm stream differs from the normalized outputs...
+    assert not np.allclose(np.asarray(pre), np.asarray(normed), atol=1e-4)
+    # ...and applying the final LayerNorm params to it reproduces them.
+    ln = v["params"]["norm"]
+    mu = jnp.mean(pre, axis=-1, keepdims=True)
+    var = jnp.var(pre, axis=-1, keepdims=True)
+    manual = (pre - mu) / jnp.sqrt(var + 1e-6) * ln["scale"] + ln["bias"]
+    np.testing.assert_allclose(np.asarray(manual), np.asarray(normed),
+                               atol=1e-5)
+
+
+def _make_state(lr=1e-3):
+    variables = jax.jit(SegFormer(TINY).init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    return TrainState.create(variables, TrainConfig(lr=lr))
+
+
+def _bn_mean(state):
+    return np.asarray(
+        state.batch_stats["decode_head"]["batch_norm"]["mean"]).copy()
+
+
+def test_semi_train_mode_updates_bn():
+    imgs, masks = _batch()
+    teacher = _make_state()
+    student = _make_state()
+    bn_t0, bn_s0 = _bn_mean(teacher), _bn_mean(student)
+    out = ts.labeled_step(teacher, student, imgs, masks, jnp.asarray(0.8),
+                          TINY, train_mode=True,
+                          rng=jax.random.PRNGKey(3))
+    assert not np.allclose(bn_t0, _bn_mean(out.teacher_state))
+    assert not np.allclose(bn_s0, _bn_mean(out.student_state))
+
+
+def test_semi_eval_mode_keeps_bn_frozen():
+    imgs, masks = _batch()
+    teacher = _make_state()
+    student = _make_state()
+    bn_t0, bn_s0 = _bn_mean(teacher), _bn_mean(student)
+    out = ts.labeled_step(teacher, student, imgs, masks, jnp.asarray(0.8),
+                          TINY, train_mode=False)
+    np.testing.assert_array_equal(bn_t0, _bn_mean(out.teacher_state))
+    np.testing.assert_array_equal(bn_s0, _bn_mean(out.student_state))
+
+
+def test_pseudo_infer_step_train_mode_updates_bn():
+    imgs, _ = _batch()
+    teacher = _make_state()
+    bn0 = _bn_mean(teacher)
+    out = ts.pseudo_label_infer_step(teacher, imgs, TINY, train_mode=True,
+                                     rng=jax.random.PRNGKey(5))
+    assert not np.allclose(bn0, _bn_mean(out.teacher_state))
+    # no optimizer update happens in the infer variant
+    np.testing.assert_array_equal(
+        np.asarray(teacher.params["decode_head"]["classifier"]["kernel"]),
+        np.asarray(
+            out.teacher_state.params["decode_head"]["classifier"]["kernel"]))
+
+
+def test_api_bce_predict_uses_real_logits():
+    from semisupervisedobjectdetection_tpu import losses as L
+    from semisupervisedobjectdetection_tpu.api import SegFormerModel
+    from semisupervisedobjectdetection_tpu.train.common import forward_logits
+
+    imgs, masks = _batch()
+    m = SegFormerModel(config=TINY, num_labels=1)
+    loss, pred = m.predict(np.asarray(imgs), np.asarray(masks),
+                           use_loss="bce")
+    logits, _, _ = forward_logits(TINY, m.state.variables(), imgs,
+                                  train_mode=False)
+    valid = (masks >= 0) & (masks != 255)
+    want = L.bce_with_logits_loss(logits[..., 0], masks, valid_mask=valid)
+    np.testing.assert_allclose(float(loss), float(want), rtol=1e-6)
+    assert pred.shape == (2, 64, 64)
+
+
+def test_api_cls_output_is_sigmoid_activated():
+    from semisupervisedobjectdetection_tpu.api import SegFormerModel
+
+    imgs, masks = _batch()
+    m = SegFormerModel(config=TINY.replace(cls_tokens=(1, 1, 1, 1)),
+                       num_labels=1)
+    loss, pred, cls = m.predict(np.asarray(imgs), np.asarray(masks),
+                                use_loss="dice", output_cls_token=True)
+    cls = np.asarray(cls)
+    assert cls.shape[0] == 2
+    assert np.all(cls > 0.0) and np.all(cls < 1.0)
+
+
+def test_fewshot_cosine_losses_use_sigmoid_cls():
+    # Directly: inter-domain loss of two opposite raw CLS vectors is ~0
+    # pre-sigmoid (cos=-1) but strictly positive after sigmoid (all-positive
+    # vectors have cos > 0). The fused step must produce the latter.
+    from semisupervisedobjectdetection_tpu import losses as L
+
+    a = jnp.ones((2, 1, 8), jnp.float32) * 3.0
+    b = -a
+    raw = float(L.inter_domain_loss(a, b))
+    sig = float(L.inter_domain_loss(jax.nn.sigmoid(a), jax.nn.sigmoid(b)))
+    assert raw < 1e-6 and sig > 0.5
