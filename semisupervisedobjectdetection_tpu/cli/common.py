@@ -74,6 +74,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
 
 
 def configs_from_args(args) -> Tuple[DataConfig, TrainConfig]:
+    # Multi-host bootstrap first: jax.distributed must initialize before
+    # anything touches the XLA backend. No-op single-process (the default).
+    from semisupervisedobjectdetection_tpu.parallel.distributed import (
+        init_distributed,
+    )
+    init_distributed()
     dcfg = DataConfig(
         dataset=args.dataset, evalset=args.evalset, maskdir=args.maskdir,
         unlabeledset=getattr(args, "unlabeledset", None),

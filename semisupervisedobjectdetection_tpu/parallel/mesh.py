@@ -9,8 +9,11 @@ produces replicated parameter updates.
 
 At MiT-B5 scale (~82M params) data parallelism is the right — and only
 needed — strategy; tensor/pipeline parallelism would add collective latency
-for no memory benefit. An optional `fsdp` axis spec is provided for sharding
-optimizer state over the data axis (ZeRO-style) for very large batch runs.
+for no memory benefit. `fsdp_shard` additionally shards parameters and
+optimizer state over the data axis (ZeRO-3 style): each leaf is split on
+its largest mesh-divisible axis, GSPMD inserts the all-gather before use
+and the reduce-scatter on the gradients, halving/eighth-ing per-chip
+optimizer memory for very large batch runs.
 """
 
 from __future__ import annotations
@@ -53,3 +56,44 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree (e.g. params) across the mesh."""
     sharding = replicate_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def fsdp_spec(shape, n_shards: int, axis_name: str = "data",
+              min_leaf_size: int = 2 ** 14) -> P:
+    """ZeRO-style PartitionSpec for one array: shard the largest axis that
+    divides the mesh size; small/indivisible leaves stay replicated.
+
+    `min_leaf_size` keeps tiny leaves (biases, LN scales) replicated — the
+    all-gather latency would dominate any memory saved.
+    """
+    if not shape or int(np.prod(shape)) < min_leaf_size:
+        return P()
+    # prefer the largest dimension for an even split
+    order = sorted(range(len(shape)), key=lambda i: -shape[i])
+    for i in order:
+        if shape[i] % n_shards == 0:
+            spec = [None] * len(shape)
+            spec[i] = axis_name
+            return P(*spec)
+    return P()
+
+
+def fsdp_shard(mesh: Mesh, tree, axis_name: str = "data",
+               min_leaf_size: int = 2 ** 14):
+    """Place a params/opt-state pytree onto the mesh FSDP-style.
+
+    Each leaf large enough is split over the data axis on its largest
+    divisible dimension; the jitted train step consuming these arrays gets
+    GSPMD-inserted all-gathers (forward/backward) and reduce-scatters
+    (gradients), i.e. ZeRO-3 semantics without touching the step code.
+    Numerics match the replicated path up to fp reduction order
+    (`tests/test_multichip.py::test_fsdp_step_matches_replicated`).
+    """
+    n = mesh.devices.size
+
+    def place(x):
+        spec = fsdp_spec(getattr(x, "shape", ()), n, axis_name,
+                         min_leaf_size)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, tree)

@@ -50,6 +50,43 @@ def test_sharded_step_matches_single_device():
                                    atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_fsdp_step_matches_replicated():
+    """ZeRO-style param/opt-state sharding must be numerically transparent:
+    GSPMD all-gathers the sharded params for compute and reduce-scatters
+    grads, so one step from identical starts must match the replicated
+    data-parallel step."""
+    from semisupervisedobjectdetection_tpu.parallel.mesh import fsdp_shard
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 1, (8, 64, 64, 3)), jnp.float32)
+    masks = jnp.asarray(rng.uniform(0, 1, (8, 64, 64)) > 0.5, jnp.float32)
+    variables = jax.jit(SegFormer(TINY).init)(
+        jax.random.PRNGKey(0), imgs[:1])
+    tc = TrainConfig(lr=1e-3)
+    mesh = get_mesh()
+    bi, bm = shard_batch(mesh, (imgs, masks))
+
+    srep = replicate(mesh, TrainState.create(variables, tc))
+    srep, loss_rep, _ = train_step(srep, bi, bm, jax.random.PRNGKey(1),
+                                   TINY)
+
+    sfsdp = fsdp_shard(mesh, TrainState.create(variables, tc),
+                       min_leaf_size=128)
+    # at least one large leaf must actually be sharded
+    shardings = [x.sharding.spec for x in jax.tree.leaves(sfsdp.params)
+                 if hasattr(x, "sharding")]
+    assert any(any(s is not None for s in spec) for spec in shardings)
+    sfsdp, loss_fsdp, _ = train_step(sfsdp, bi, bm, jax.random.PRNGKey(1),
+                                     TINY)
+
+    np.testing.assert_allclose(float(loss_rep), float(loss_fsdp), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(srep.params),
+                    jax.tree.leaves(sfsdp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
