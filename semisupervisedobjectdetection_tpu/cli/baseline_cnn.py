@@ -35,19 +35,42 @@ def main(argv=None):
                         ",".join(BASELINE_ARCHS))
     p.add_argument("--encoder-depths", default="3,4,23,3",
                    help="ResNeXt stage depths (default = ResNeXt101)")
+    p.add_argument("--encoder-weights",
+                   help="torchvision-format ResNeXt .pth/.safetensors to "
+                        "warm-start the encoder — the reference's "
+                        "encoder_weights='imagenet' "
+                        "(baseline_segmentation.py:154-162)")
+    p.add_argument("--encoder-groups", type=int, default=32)
+    p.add_argument("--encoder-base-width", type=int, default=8)
     args = p.parse_args(argv)
     dcfg, tc = common.configs_from_args(args)
     dcfg = common.ensure_data(args, dcfg)
     loaders = common.make_loaders(dcfg, args.seed)
     logger = MetricLogger(args.metrics_csv)
     depths = tuple(int(x) for x in args.encoder_depths.split(","))
+    enc_kw = dict(encoder_depths=depths, groups=args.encoder_groups,
+                  base_width=args.encoder_base_width)
 
     for arch in args.archs.split(","):
         print(f"======== {arch} ========")
         state, _ = create_cnn_state(
             arch, tc, jax.random.PRNGKey(args.seed),
-            input_hw=(dcfg.img_h, dcfg.img_w), dtype=args.dtype,
-            encoder_depths=depths)
+            input_hw=(dcfg.img_h, dcfg.img_w), dtype=args.dtype, **enc_kw)
+        if args.encoder_weights:
+            from semisupervisedobjectdetection_tpu.checkpoint \
+                .resnext_import import (
+                    import_resnext_state_dict,
+                    load_resnext_checkpoint,
+                )
+
+            sd = load_resnext_checkpoint(args.encoder_weights)
+            enc_p, enc_s = import_resnext_state_dict(
+                sd, state.params["encoder"],
+                state.batch_stats["encoder"], depths=depths)
+            state = state.replace(
+                params={**state.params, "encoder": enc_p},
+                batch_stats={**state.batch_stats, "encoder": enc_s})
+            print(f"encoder warm-started from {args.encoder_weights}")
         ckpt = BestCheckpointer(args.checkpoint_dir, prefix=arch)
         rng = jax.random.PRNGKey(args.seed)
         best = float("inf")
@@ -59,7 +82,7 @@ def main(argv=None):
                                                         masks_u8, dcfg)
                 state, loss, _ = cnn_train_step(
                     state, imgs, masks, d_rng, arch, dtype=args.dtype,
-                    encoder_depths=depths)
+                    **enc_kw)
                 tl.append(float(loss))
             state = state.scheduler_step()
             t0 = time.time()
@@ -68,8 +91,7 @@ def main(argv=None):
                 imgs, masks = common.device_eval_batch(images_u8, masks_u8,
                                                        dcfg)
                 loss, _ = cnn_eval_step(state, imgs, masks, arch,
-                                        dtype=args.dtype,
-                                        encoder_depths=depths)
+                                        dtype=args.dtype, **enc_kw)
                 ev.append(float(loss))
             fps = len(loaders["eval"]) / max(time.time() - t0, 1e-9)
             train_loss = float(np.mean(tl)) if tl else 0.0

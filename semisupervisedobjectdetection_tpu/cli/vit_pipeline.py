@@ -35,6 +35,11 @@ def main(argv=None):
     p.add_argument("--patch-size", type=int, default=14)
     p.add_argument("--vit-depth", type=int, default=0,
                    help="override encoder/decoder depth (0 = variant)")
+    p.add_argument("--dinov2-weights",
+                   help="facebookresearch-format DINOv2 checkpoint "
+                        "(.pth/.safetensors) to warm-start the encoder, "
+                        "the reference's torch.hub dinov2_vitb14 load "
+                        "(VitSegModel.py:20)")
     args = p.parse_args(argv)
     dcfg, tc = common.configs_from_args(args)
     # ViT needs img size divisible by the patch size
@@ -54,13 +59,26 @@ def main(argv=None):
                           depth=args.vit_depth or None)
     state = create_vit_state(model, tc, jax.random.PRNGKey(args.seed),
                              img_size=size)
+    if args.dinov2_weights:
+        from semisupervisedobjectdetection_tpu.checkpoint.dinov2_import \
+            import import_dinov2_state_dict, load_dinov2_checkpoint
+
+        sd = load_dinov2_checkpoint(args.dinov2_weights)
+        enc = import_dinov2_state_dict(sd, state.params["encoder"])
+        state = state.replace(params={**state.params, "encoder": enc})
+        print(f"DINOv2 encoder warm-started from {args.dinov2_weights}")
     (seg_train, seg_eval, ae_train, pseudo_step,
      ts_labeled) = make_vit_steps(model)
     # semi mode keeps a separate student (ref vit_semi_teacherstudent:
     # teacher trains on GT+pseudo, student on the mixed loss)
-    student = (create_vit_state(model, tc, jax.random.PRNGKey(args.seed),
-                                img_size=size)
-               if args.mode == "semi" else None)
+    student = None
+    if args.mode == "semi":
+        student = create_vit_state(model, tc, jax.random.PRNGKey(args.seed),
+                                   img_size=size)
+        if args.dinov2_weights:
+            # deep-copy: both states are donated per step and must not alias
+            student = student.replace(params=jax.tree.map(
+                jnp.copy, state.params))
     ckpt = BestCheckpointer(args.checkpoint_dir, prefix=f"vit_{args.mode}")
     rng = jax.random.PRNGKey(args.seed)
     best = float("inf")

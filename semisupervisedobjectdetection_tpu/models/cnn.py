@@ -15,9 +15,11 @@ provides the same five heads over a shared ResNet/ResNeXt encoder:
 - `pan`: pyramid attention (FPA-style global context + GAU skip gates).
 
 ImageNet weights are not bundled (zero-egress build); encoders initialize
-randomly, and `checkpoint/orbax_io` checkpoints provide warm starts. The
-decoders follow the published architectures; where smp has implementation
-quirks we follow the paper, noted per class.
+randomly, and `checkpoint/resnext_import.py` imports a torchvision-format
+ResNeXt checkpoint file (`cli/baseline_cnn.py --encoder-weights`) for the
+reference's `encoder_weights='imagenet'` warm start. The decoders follow
+the published architectures; where smp has implementation quirks we follow
+the paper, noted per class.
 """
 
 from __future__ import annotations

@@ -24,54 +24,66 @@ from semisupervisedobjectdetection_tpu.train.state import TrainState
 Array = jax.Array
 
 
+_CNN_TRANSFORM_CACHE: dict = {}
+
+
 def make_cnn_transform(tc: TrainConfig) -> optax.GradientTransformation:
     """Like the SegFormer chain but with the baseline script's grad-NORM
-    clip of 35 (`baseline_segmentation.py:111`)."""
-    return optax.chain(
-        optax.clip_by_global_norm(35.0),
-        optax.add_decayed_weights(tc.weight_decay),
-        optax.scale_by_adam(b1=tc.adam_b1, b2=tc.adam_b2),
-        optax.scale(-1.0),
-    )
+    clip of 35 (`baseline_segmentation.py:111`). Memoized like
+    `state.make_transform` (tx is jit-static)."""
+    key = (tc.weight_decay, tc.adam_b1, tc.adam_b2)
+    tx = _CNN_TRANSFORM_CACHE.get(key)
+    if tx is None:
+        tx = optax.chain(
+            optax.clip_by_global_norm(35.0),
+            optax.add_decayed_weights(tc.weight_decay),
+            optax.scale_by_adam(b1=tc.adam_b1, b2=tc.adam_b2),
+            optax.scale(-1.0),
+        )
+        _CNN_TRANSFORM_CACHE[key] = tx
+    return tx
 
 
 def create_cnn_state(arch: str, tc: TrainConfig, rng,
                      input_hw=(512, 512), num_labels: int = 1,
                      dtype: str = "float32",
-                     encoder_depths=(3, 4, 23, 3)
-                     ) -> Tuple[TrainState, dict]:
+                     encoder_depths=(3, 4, 23, 3), groups: int = 32,
+                     base_width: int = 8) -> Tuple[TrainState, dict]:
     import jax.numpy as jnp
 
-    model = SegmentationCNN(arch=arch, num_labels=num_labels,
-                            encoder_depths=tuple(encoder_depths),
-                            dtype=jnp.bfloat16 if dtype == "bfloat16"
-                            else jnp.float32)
+    meta = {"arch": arch, "num_labels": num_labels, "dtype": dtype,
+            "encoder_depths": tuple(encoder_depths), "groups": groups,
+            "base_width": base_width}
+    model = _model(meta)
     variables = jax.jit(model.init, static_argnames=("train",))(
         rng, jnp.zeros((1, *input_hw, 3)), train=False)
     state = TrainState.create(variables, tc)
-    state = state.replace(tx=make_cnn_transform(tc),
-                          opt_state=make_cnn_transform(tc).init(
-                              state.params))
-    return state, {"arch": arch, "num_labels": num_labels, "dtype": dtype,
-                   "encoder_depths": tuple(encoder_depths)}
+    tx = make_cnn_transform(tc)
+    state = state.replace(tx=tx, opt_state=tx.init(state.params))
+    return state, meta
 
 
 def _model(meta) -> SegmentationCNN:
     return SegmentationCNN(
         arch=meta["arch"], num_labels=meta["num_labels"],
         encoder_depths=meta.get("encoder_depths", (3, 4, 23, 3)),
+        groups=meta.get("groups", 32),
+        base_width=meta.get("base_width", 8),
         dtype=jnp.bfloat16 if meta["dtype"] == "bfloat16" else jnp.float32)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("arch", "num_labels", "dtype",
-                                    "encoder_depths"),
+                                    "encoder_depths", "groups",
+                                    "base_width"),
                    donate_argnames=("state",))
 def cnn_train_step(state: TrainState, images: Array, masks: Array, rng,
                    arch: str, num_labels: int = 1, dtype: str = "float32",
-                   encoder_depths=(3, 4, 23, 3)):
+                   encoder_depths=(3, 4, 23, 3), groups: int = 32,
+                   base_width: int = 8):
     meta = {"arch": arch, "num_labels": num_labels, "dtype": dtype,
-            "encoder_depths": encoder_depths}
+            "encoder_depths": encoder_depths, "groups": groups,
+            "base_width": base_width}
     model = _model(meta)
 
     def loss_fn(params):
@@ -93,12 +105,15 @@ def cnn_train_step(state: TrainState, images: Array, masks: Array, rng,
 
 @functools.partial(jax.jit,
                    static_argnames=("arch", "num_labels", "dtype",
-                                    "encoder_depths"))
+                                    "encoder_depths", "groups",
+                                    "base_width"))
 def cnn_eval_step(state: TrainState, images: Array, masks: Array,
                   arch: str, num_labels: int = 1, dtype: str = "float32",
-                  encoder_depths=(3, 4, 23, 3)):
+                  encoder_depths=(3, 4, 23, 3), groups: int = 32,
+                  base_width: int = 8):
     meta = {"arch": arch, "num_labels": num_labels, "dtype": dtype,
-            "encoder_depths": encoder_depths}
+            "encoder_depths": encoder_depths, "groups": groups,
+            "base_width": base_width}
     model = _model(meta)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     logits = model.apply(variables, images, train=False)
