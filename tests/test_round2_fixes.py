@@ -136,6 +136,36 @@ def test_api_cls_output_is_sigmoid_activated():
     assert np.all(cls > 0.0) and np.all(cls < 1.0)
 
 
+def test_gelu_approx_preserves_masks():
+    """The benched config uses tanh-GELU (`bench.py` gelu_approx=True) while
+    parity tests use exact erf-GELU; this pins the evidence that the approx
+    preserves the metric: same weights, binarized masks nearly identical and
+    the probability delta tiny (`modeling_segformer.py` ACT2FN 'gelu')."""
+    from semisupervisedobjectdetection_tpu.models.segformer import (
+        predict_masks,
+    )
+
+    imgs, masks = _batch(b=4)
+    cfg_exact = TINY.replace(gelu_approx=False)
+    cfg_tanh = TINY.replace(gelu_approx=True)
+    v = jax.jit(SegFormer(cfg_exact).init)(jax.random.PRNGKey(0), imgs[:1])
+
+    def run(cfg):
+        logits, _ = jax.jit(SegFormer(cfg).apply)(v, imgs)
+        return predict_masks(logits, imgs.shape[1:3])
+
+    p_exact, p_tanh = np.asarray(run(cfg_exact)), np.asarray(run(cfg_tanh))
+    assert np.mean(np.abs(p_exact - p_tanh)) < 2e-3
+    agree = np.mean((p_exact >= 0.5) == (p_tanh >= 0.5))
+    assert agree > 0.995, f"mask agreement {agree}"
+    # metric delta: binarized dice computed against the same GT
+    from semisupervisedobjectdetection_tpu import losses as L
+
+    d_exact = float(L.dice_argmax_loss(jnp.asarray(p_exact), masks))
+    d_tanh = float(L.dice_argmax_loss(jnp.asarray(p_tanh), masks))
+    assert abs(d_exact - d_tanh) < 5e-3
+
+
 def test_fewshot_cosine_losses_use_sigmoid_cls():
     # Directly: inter-domain loss of two opposite raw CLS vectors is ~0
     # pre-sigmoid (cos=-1) but strictly positive after sigmoid (all-positive
