@@ -53,7 +53,10 @@ class MiTConfig:
 
     # Rematerialization policy for the scanned encoder blocks: trades FLOPs
     # for HBM so MiT-B5 @ 512x512 fits large batches on a 16G v5e chip.
-    # "none" | "full" (save nothing) | "dots" (save matmul outputs).
+    # "none" | "full" (save nothing) | "dots" (save matmul outputs) |
+    # "save:a+b+c" (save only named activations: ln1 q kv_in k v ctx ln2
+    # ffn1 dwconv gelu). A comma-separated list gives a per-stage policy,
+    # e.g. "full,full,save:gelu+ln2,none".
     remat: str = "full"
 
     # Attention implementation: "xla" (einsum) or "pallas" (fused VMEM

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from semisupervisedobjectdetection_tpu.core.config import MiTConfig
 
@@ -114,6 +115,7 @@ def xla_attention(q: Array, k: Array, v: Array, num_heads: int,
     v = v.reshape(b, nk, num_heads, d)
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(d).astype(q.dtype)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    probs = checkpoint_name(probs, "probs")
     if dropout_rate > 0.0 and not deterministic:
         keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, probs.shape)
         probs = probs * keep.astype(probs.dtype) / (1.0 - dropout_rate)
@@ -143,8 +145,9 @@ class EfficientSelfAttention(nn.Module):
     def __call__(self, x: Array, h: int, w: int, n_prefix: int,
                  deterministic: bool) -> Array:
         b, n, c = x.shape
-        q = nn.Dense(self.hidden_size, dtype=self.dtype,
-                     kernel_init=dense_init, name="query")(x)
+        q = checkpoint_name(
+            nn.Dense(self.hidden_size, dtype=self.dtype,
+                     kernel_init=dense_init, name="query")(x), "q")
         kv_in = x
         if self.sr_ratio > 1:
             prefix = x[:, :n_prefix, :]
@@ -160,10 +163,13 @@ class EfficientSelfAttention(nn.Module):
                 kv_in = spatial
             kv_in = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
                                  name="sr_norm")(kv_in)
-        k = nn.Dense(self.hidden_size, dtype=self.dtype,
-                     kernel_init=dense_init, name="key")(kv_in)
-        v = nn.Dense(self.hidden_size, dtype=self.dtype,
-                     kernel_init=dense_init, name="value")(kv_in)
+        kv_in = checkpoint_name(kv_in, "kv_in")
+        k = checkpoint_name(
+            nn.Dense(self.hidden_size, dtype=self.dtype,
+                     kernel_init=dense_init, name="key")(kv_in), "k")
+        v = checkpoint_name(
+            nn.Dense(self.hidden_size, dtype=self.dtype,
+                     kernel_init=dense_init, name="value")(kv_in), "v")
 
         rng = None
         if self.attention_dropout > 0.0 and not deterministic:
@@ -183,6 +189,7 @@ class EfficientSelfAttention(nn.Module):
         else:
             ctx = xla_attention(q, k, v, self.num_heads,
                                 self.attention_dropout, deterministic, rng)
+        ctx = checkpoint_name(ctx, "ctx")
         # SelfOutput projection (ref `modeling_segformer.py:233-242`).
         out = nn.Dense(self.hidden_size, dtype=self.dtype,
                        kernel_init=dense_init, name="out")(ctx)
@@ -206,12 +213,15 @@ class MixFFN(nn.Module):
         b, n, c = x.shape
         x = nn.Dense(self.mlp_hidden, dtype=self.dtype,
                      kernel_init=dense_init, name="dense1")(x)
+        x = checkpoint_name(x, "ffn1")
         x = x.reshape(b, h, w, self.mlp_hidden)
         x = nn.Conv(self.mlp_hidden, (3, 3), padding=[(1, 1), (1, 1)],
                     feature_group_count=self.mlp_hidden, dtype=self.dtype,
                     name="dwconv")(x)
         x = x.reshape(b, h * w, self.mlp_hidden)
+        x = checkpoint_name(x, "dwconv")
         x = nn.gelu(x, approximate=self.gelu_approx)
+        x = checkpoint_name(x, "gelu")
         x = nn.Dropout(self.hidden_dropout, deterministic=deterministic)(x)
         x = nn.Dense(self.hidden_size, dtype=self.dtype,
                      kernel_init=dense_init, name="dense2")(x)
@@ -269,8 +279,9 @@ class Block(nn.Module):
             self.hidden_size, self.num_heads, self.sr_ratio,
             self.attention_dropout, self.hidden_dropout, self.eps,
             self.dtype, self.attn_impl, name="attention")(
-                nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
-                             name="layer_norm_1")(stream),
+                checkpoint_name(
+                    nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
+                                 name="layer_norm_1")(stream), "ln1"),
                 h, w, n_prefix, self.deterministic)
         rng = None if self.deterministic else self.make_rng("droppath")
         attn_out = drop_path(attn_out, dpr, self.deterministic, rng)
@@ -283,8 +294,9 @@ class Block(nn.Module):
                                                self.mlp_ratio),
                          self.hidden_dropout, self.dtype,
                          self.gelu_approx, name="mlp")(
-            nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
-                         name="layer_norm_2")(tokens),
+            checkpoint_name(
+                nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
+                             name="layer_norm_2")(tokens), "ln2"),
             h, w, self.deterministic)
         rng = None if self.deterministic else self.make_rng("droppath")
         mlp_out = drop_path(mlp_out, dpr, self.deterministic, rng)
@@ -295,6 +307,37 @@ class Block(nn.Module):
         # (ref `modeling_segformer.py:461-463`).
         new_carried = prefix[:, :1, :] if carried_cls is not None else None
         return (new_spatial, new_carried), None
+
+
+def _remat_block(remat_spec: str, stage: int):
+    """Resolve `MiTConfig.remat` into the (possibly remat-wrapped) Block class
+    for one encoder stage.
+
+    `remat_spec` is either one policy for all stages or a comma-separated
+    per-stage list. Each policy is one of:
+      - "none": no rematerialization (all activations saved)
+      - "full": save nothing; backward re-runs the layer forward
+      - "dots": `dots_with_no_batch_dims_saveable`
+      - "save:a+b+c": save only the named checkpoints (names annotated via
+        `checkpoint_name` in the layer: ln1 q kv_in k v ctx ln2 ffn1 dwconv
+        gelu) — selective remat trading HBM for backward recompute.
+    """
+    specs = remat_spec.split(",")
+    spec = specs[stage] if len(specs) > 1 else specs[0]
+    if spec == "none":
+        return Block
+    if spec == "full":
+        return nn.remat(Block, prevent_cse=False)
+    if spec == "dots":
+        return nn.remat(
+            Block, prevent_cse=False,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    if spec.startswith("save:"):
+        names = tuple(spec[len("save:"):].split("+"))
+        return nn.remat(
+            Block, prevent_cse=False,
+            policy=jax.checkpoint_policies.save_only_these_names(*names))
+    raise ValueError(f"unknown remat spec {spec!r}")
 
 
 class MiTEncoder(nn.Module):
@@ -349,14 +392,7 @@ class MiTEncoder(nn.Module):
             stage_dprs = jnp.asarray(dprs[cur:cur + depth], dtype=dtype)
             cur += depth
 
-            block_cls = Block
-            if cfg.remat == "full":
-                block_cls = nn.remat(Block, prevent_cse=False)
-            elif cfg.remat == "dots":
-                block_cls = nn.remat(
-                    Block, prevent_cse=False,
-                    policy=jax.checkpoint_policies.
-                    dots_with_no_batch_dims_saveable)
+            block_cls = _remat_block(cfg.remat, i)
             ScannedBlock = nn.scan(
                 block_cls,
                 variable_axes={"params": 0},

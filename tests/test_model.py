@@ -132,3 +132,40 @@ def test_deterministic_forward_is_deterministic():
     model = SegFormer(TINY)
     l2, _ = jax.jit(model.apply)(variables, x)
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+@pytest.mark.parametrize("remat", [
+    "none", "full", "dots", "save:gelu+dwconv+ffn1",
+    "full,full,save:gelu+ln2+ctx,none",
+])
+def test_remat_policies_grads_match(remat):
+    """Every remat spec (including selective save:<names> and per-stage
+    lists) must produce identical loss AND grads — remat only trades
+    memory for recompute, never numerics (on CPU, deterministic)."""
+    cfg_base = TINY.replace(depths=(1, 2, 2, 1))
+    x = jnp.asarray(np.random.default_rng(0).uniform(size=(2, 64, 64, 3)),
+                    jnp.float32)
+    y = jnp.asarray(np.random.default_rng(1).uniform(size=(2, 16, 16, 1)),
+                    jnp.float32)
+
+    def loss_for(cfg, variables):
+        def loss_fn(params):
+            logits, _ = SegFormer(cfg).apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]}, x)
+            return jnp.mean((logits - y) ** 2)
+        return jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+
+    variables = jax.jit(SegFormer(cfg_base).init)(jax.random.PRNGKey(0), x)
+    l_ref, g_ref = loss_for(cfg_base.replace(remat="none"), variables)
+    l, g = loss_for(cfg_base.replace(remat=remat), variables)
+    assert np.allclose(float(l_ref), float(l), rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), g_ref, g)
+
+
+def test_remat_bad_spec_raises():
+    with pytest.raises(ValueError):
+        cfg = TINY.replace(remat="bogus")
+        x = jnp.zeros((1, 32, 32, 3))
+        jax.jit(SegFormer(cfg).init)(jax.random.PRNGKey(0), x)
