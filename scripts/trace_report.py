@@ -1,25 +1,52 @@
-"""Summarize a jax.profiler trace: top HLO ops by self time.
+"""Summarize a jax.profiler trace: top TPU ops by total device time.
 
-Usage: python scripts/trace_report.py /tmp/trace1 [--top 40] [--tool hlo_stats]
+Parses the xplane.pb directly (the installed tensorboard_plugin_profile
+converter is incompatible with the baked-in TF), aggregates event durations
+by op name on the TPU device plane, and buckets them into coarse categories.
 
-Finds the newest *.xplane.pb under the trace dir and renders the requested
-tensorboard_plugin_profile tool table (default hlo_stats) as text.
+Usage: python scripts/trace_report.py /tmp/trace1 [--top 40]
+Requires PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python (set automatically).
 """
 
 from __future__ import annotations
 
 import argparse
+import collections
 import glob
-import json
 import os
+import re
 import sys
+
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
+
+def categorize(name: str) -> str:
+    n = name.lower()
+    if "convolution" in n or "conv" in n:
+        return "conv"
+    if re.search(r"\bdot\b|dot_general|matmul", n):
+        return "dot"
+    if "fusion" in n:
+        return "fusion"
+    if "copy" in n or "transpose" in n:
+        return "copy/transpose"
+    if "reduce" in n:
+        return "reduce"
+    if "dynamic" in n and "slice" in n:
+        return "dyn-slice"
+    if "scatter" in n or "gather" in n:
+        return "gather/scatter"
+    if "infeed" in n or "outfeed" in n or "send" in n or "recv" in n:
+        return "io"
+    return "other"
 
 
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("trace_dir")
     p.add_argument("--top", type=int, default=40)
-    p.add_argument("--tool", default="hlo_stats")
+    p.add_argument("--line", default="",
+                   help="substring filter for trace line name")
     args = p.parse_args()
 
     paths = sorted(glob.glob(os.path.join(
@@ -30,45 +57,45 @@ def main() -> None:
     xplane = paths[-1]
     print(f"# {xplane}", file=sys.stderr)
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-    data, _ = raw_to_tool_data.xspace_to_tool_data([xplane], args.tool, {})
-    if isinstance(data, bytes):
-        data = data.decode("utf-8", errors="replace")
-    try:
-        parsed = json.loads(data)
-    except Exception:
-        print(data[:20000])
-        return
+    xs = xplane_pb2.XSpace()
+    with open(xplane, "rb") as f:
+        xs.ParseFromString(f.read())
 
-    # hlo_stats JSON: list with one gviz-style table {cols, rows}.
-    table = parsed[0] if isinstance(parsed, list) else parsed
-    cols = [c.get("label", c.get("id", "?")) for c in table["cols"]]
-    rows = [[c.get("v") for c in r["c"]] for r in table["rows"]]
+    tpu = next((pl for pl in xs.planes if "/device:TPU" in pl.name
+                or "/device:CUSTOM" in pl.name and pl.lines), None)
+    if tpu is None or not tpu.lines:
+        sys.exit("no TPU device plane with events")
 
-    def col(name_sub):
-        for i, c in enumerate(cols):
-            if name_sub.lower() in str(c).lower():
-                return i
-        return None
+    meta = {m_id: m.name for m_id, m in tpu.event_metadata.items()}
 
-    i_self = col("total self time (us)") or col("self time")
-    i_name = col("hlo op expression") or col("hlo op name") or 0
-    i_cat = col("category")
-    rows.sort(key=lambda r: -(r[i_self] or 0))
-    total = sum((r[i_self] or 0) for r in rows)
-    print(f"total self time: {total/1e3:.2f} ms over {len(rows)} ops")
-    agg = {}
-    for r in rows:
-        cat = r[i_cat] if i_cat is not None else "?"
-        agg[cat] = agg.get(cat, 0) + (r[i_self] or 0)
-    for cat, t in sorted(agg.items(), key=lambda kv: -kv[1]):
-        print(f"  {t/1e3:9.2f} ms  {100*t/total:5.1f}%  {cat}")
-    print("\ntop ops:")
-    for r in rows[:args.top]:
-        name = str(r[i_name])[:110]
-        cat = r[i_cat] if i_cat is not None else "?"
-        print(f"  {(r[i_self] or 0)/1e3:9.3f} ms  [{cat}] {name}")
+    for line in tpu.lines:
+        if args.line and args.line not in line.name:
+            continue
+        if not line.events:
+            continue
+        agg = collections.Counter()
+        cnt = collections.Counter()
+        for ev in line.events:
+            name = meta.get(ev.metadata_id, "?")
+            agg[name] += ev.duration_ps
+            cnt[name] += 1
+        total = sum(agg.values())
+        span_ps = (max(ev.offset_ps + ev.duration_ps for ev in line.events)
+                   - min(ev.offset_ps for ev in line.events))
+        print(f"\n== line '{line.name}': busy {total/1e9:.2f} ms over "
+              f"{len(line.events)} events, span {span_ps/1e9:.2f} ms, "
+              f"occupancy {100*total/max(span_ps,1):.0f}%")
+        bycat = collections.Counter()
+        for name, ps in agg.items():
+            bycat[categorize(name)] += ps
+        for cat, ps in bycat.most_common():
+            print(f"  {ps/1e9:9.2f} ms  {100*ps/total:5.1f}%  {cat}")
+        print("  top ops:")
+        for name, ps in agg.most_common(args.top):
+            print(f"  {ps/1e9:9.3f} ms  x{cnt[name]:<6d} "
+                  f"[{categorize(name)}] {name[:100]}")
 
 
 if __name__ == "__main__":

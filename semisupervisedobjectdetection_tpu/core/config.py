@@ -64,6 +64,12 @@ class MiTConfig:
     # attention_dropout == 0 (the reference default).
     attn_impl: str = "xla"
 
+    # MixFFN depthwise-conv implementation: "xla" (NHWC conv; XLA inserts
+    # layout copies around it) or "pallas" (token-layout fused kernel with
+    # custom VJP, `ops/dwconv.py`; shapes that don't fit VMEM fall back to
+    # XLA automatically).
+    dwconv_impl: str = "xla"
+
     # GELU flavor: False = exact erf (matches HF/reference numerics), True
     # = tanh approximation (~27% faster encoder forward on TPU — the erf
     # transcendental dominates the VPU; approx differs by ~1e-3 relative).

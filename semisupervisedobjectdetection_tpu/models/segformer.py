@@ -197,6 +197,27 @@ class EfficientSelfAttention(nn.Module):
         return out
 
 
+class TokenDWConv(nn.Module):
+    """3x3 depthwise conv on (B, N, C) tokens via the Pallas kernel
+    (`ops/dwconv.py`). Params mirror `nn.Conv`'s pytree exactly
+    ({kernel: (3,3,1,C), bias: (C,)}) so checkpoints/HF import are
+    interchangeable with the XLA path."""
+
+    features: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: Array, h: int, w: int) -> Array:
+        from semisupervisedobjectdetection_tpu.ops.dwconv import dwconv3x3
+
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 1, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return dwconv3x3(x, kernel.reshape(3, 3, self.features)
+                         .astype(self.dtype),
+                         bias.astype(self.dtype), h, w)
+
+
 class MixFFN(nn.Module):
     """Mix-FFN: dense -> 3x3 depthwise conv -> GELU -> dense
     (ref `modeling_segformer.py:283-317`)."""
@@ -206,6 +227,7 @@ class MixFFN(nn.Module):
     hidden_dropout: float
     dtype: Any
     gelu_approx: bool = False
+    dwconv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: Array, h: int, w: int,
@@ -214,11 +236,15 @@ class MixFFN(nn.Module):
         x = nn.Dense(self.mlp_hidden, dtype=self.dtype,
                      kernel_init=dense_init, name="dense1")(x)
         x = checkpoint_name(x, "ffn1")
-        x = x.reshape(b, h, w, self.mlp_hidden)
-        x = nn.Conv(self.mlp_hidden, (3, 3), padding=[(1, 1), (1, 1)],
-                    feature_group_count=self.mlp_hidden, dtype=self.dtype,
-                    name="dwconv")(x)
-        x = x.reshape(b, h * w, self.mlp_hidden)
+        if self.dwconv_impl == "pallas":
+            x = TokenDWConv(self.mlp_hidden, self.dtype,
+                            name="dwconv")(x, h, w)
+        else:
+            x = x.reshape(b, h, w, self.mlp_hidden)
+            x = nn.Conv(self.mlp_hidden, (3, 3), padding=[(1, 1), (1, 1)],
+                        feature_group_count=self.mlp_hidden,
+                        dtype=self.dtype, name="dwconv")(x)
+            x = x.reshape(b, h * w, self.mlp_hidden)
         x = checkpoint_name(x, "dwconv")
         x = nn.gelu(x, approximate=self.gelu_approx)
         x = checkpoint_name(x, "gelu")
@@ -253,6 +279,7 @@ class Block(nn.Module):
     deterministic: bool
     attn_impl: str = "xla"
     gelu_approx: bool = False
+    dwconv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, carry, per_layer):
@@ -293,7 +320,7 @@ class Block(nn.Module):
         mlp_out = MixFFN(self.hidden_size, int(self.hidden_size *
                                                self.mlp_ratio),
                          self.hidden_dropout, self.dtype,
-                         self.gelu_approx, name="mlp")(
+                         self.gelu_approx, self.dwconv_impl, name="mlp")(
             checkpoint_name(
                 nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
                              name="layer_norm_2")(tokens), "ln2"),
@@ -406,7 +433,8 @@ class MiTEncoder(nn.Module):
                 c, cfg.num_heads[i], cfg.sr_ratios[i], cfg.mlp_ratio,
                 cfg.attention_dropout, cfg.hidden_dropout,
                 cfg.layer_norm_eps, dtype, self.deterministic,
-                cfg.attn_impl, cfg.gelu_approx, name=f"block_{i}")(
+                cfg.attn_impl, cfg.gelu_approx, cfg.dwconv_impl,
+                name=f"block_{i}")(
                     (tokens.reshape(b, h, w, c), carried),
                     (stage_dprs, prompt_per_layer, prompt_shared))
 
