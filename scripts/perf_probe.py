@@ -33,7 +33,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--what", default="train",
-                   choices=["fwd", "train", "semi", "dispatch", "dwmicro"])
+                   choices=["fwd", "train", "semi", "dispatch", "dwmicro",
+                            "labeled", "stacked", "semistack"])
     p.add_argument("--remat", default="full")
     p.add_argument("--unroll", type=int, default=2)
     p.add_argument("--batch", type=int, default=16)
@@ -59,7 +60,8 @@ def main() -> None:
     from semisupervisedobjectdetection_tpu.models.segformer import SegFormer
     from semisupervisedobjectdetection_tpu.train.state import TrainState
     from semisupervisedobjectdetection_tpu.train.teacher_student import (
-        labeled_step, pseudo_label_infer_step, pseudo_label_step,
+        labeled_step, labeled_step_stacked, pseudo_label_infer_step,
+        pseudo_label_step,
     )
 
     platform = jax.devices()[0].platform
@@ -142,6 +144,23 @@ def main() -> None:
             out = pseudo_label_step(t, images, update_t, cfg)
             return out.teacher_state, s, out.loss
         student = None
+    elif args.what in ("labeled", "stacked"):
+        student = TrainState.create(variables, tc, lr=3e-5)
+        fn = labeled_step if args.what == "labeled" else labeled_step_stacked
+
+        def step(t, s, i):
+            lout = fn(t, s, images, masks, sup_w, cfg, denoise_label=True)
+            return lout.teacher_state, lout.student_state, \
+                lout.student_loss_total
+    elif args.what == "semistack":
+        student = TrainState.create(variables, tc, lr=3e-5)
+
+        def step(t, s, i):
+            out = pseudo_label_infer_step(t, images, cfg)
+            lout = labeled_step_stacked(out.teacher_state, s, images, masks,
+                                        sup_w, cfg, denoise_label=True)
+            return lout.teacher_state, lout.student_state, \
+                lout.student_loss_total
     else:  # semi: the exact bench composition
         student = TrainState.create(variables, tc, lr=3e-5)
 

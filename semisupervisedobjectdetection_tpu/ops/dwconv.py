@@ -51,7 +51,7 @@ def _cblock(h: int, w: int, c: int, *, bwd: bool) -> int:
     TPU lowering requires the block's last (lane) dim be a multiple of 128
     or the full array dim, so candidates are 128·2^k divisors of c plus c
     itself. Returns 0 when nothing fits (caller falls back to XLA)."""
-    pad_bytes = (h + 2) * (w + 2) * 2          # one padded bf16 tile (shared)
+    pad_bytes = (h * w + 2 * w + 2) * 2            # one padded bf16 tile (shared)
     acc_bytes = h * w * 4                      # one f32 accumulator
     io_bytes = h * w * 2 * 2                   # one in/out block, dbl-buffered
     per_c = pad_bytes + acc_bytes + io_bytes * (3 if bwd else 2)
@@ -61,50 +61,79 @@ def _cblock(h: int, w: int, c: int, *, bwd: bool) -> int:
     return max(fits) if fits else 0
 
 
-def _fwd_kernel(x_ref, k_ref, b_ref, o_ref, xpad, *, h: int, w: int):
-    cb = x_ref.shape[-1]
-    xpad[:] = jnp.zeros(xpad.shape, xpad.dtype)
-    xpad[1:h + 1, 1:w + 1, :] = x_ref[0].reshape(h, w, cb)
-    acc = jnp.broadcast_to(b_ref[0].astype(jnp.float32), (h, w, cb))
-    for ky in range(3):
-        for kx in range(3):
-            acc = acc + (xpad[ky:ky + h, kx:kx + w, :].astype(jnp.float32)
-                         * k_ref[ky, kx, :].astype(jnp.float32))
-    o_ref[0] = acc.reshape(h * w, cb).astype(o_ref.dtype)
+def _col_masks(n: int, w: int):
+    """(n, 1) masks for tokens on the left/right image border: a flat-token
+    shift of ±1 wraps across rows, so those taps must contribute zero."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) % w
+    return col != 0, col != (w - 1)
+
+
+def _fwd_kernel(x_ref, k_ref, b_ref, o_ref, xp, *, h: int, w: int):
+    """2D formulation: the (H, W) neighborhood becomes flat-token sublane
+    shifts of dy*w + dx on an (n + 2w, cb) zero-padded buffer, with border
+    columns masked — every access is a well-tiled 2D slice."""
+    n, cb = x_ref.shape[1], x_ref.shape[2]
+    xp[:] = jnp.zeros(xp.shape, xp.dtype)
+    xp[w + 1:w + 1 + n, :] = x_ref[0]
+    not_l, not_r = _col_masks(n, w)
+    acc = jnp.broadcast_to(b_ref[0].astype(jnp.float32), (n, cb))
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            o = w + 1 + dy * w + dx
+            t = xp[o:o + n, :]
+            t = t.astype(jnp.float32)
+            if dx == -1:
+                t = jnp.where(not_l, t, 0.0)
+            elif dx == 1:
+                t = jnp.where(not_r, t, 0.0)
+            acc = acc + t * k_ref[dy + 1, dx + 1, :].astype(jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
 
 
 def _bwd_kernel(x_ref, g_ref, k_ref, dx_ref, dk_ref, db_ref, pad,
                 *, h: int, w: int):
-    cb = x_ref.shape[-1]
+    n, cb = x_ref.shape[1], x_ref.shape[2]
     b = pl.program_id(1)
+    not_l, not_r = _col_masks(n, w)
 
-    # Phase 1 — pad holds the cotangent: dx = gpad (*) flipped kernel.
+    # Phase 1 — pad holds the cotangent: dx[p] = sum_t g[p - t] k[t].
+    # A tap (dy, dx) read from g at p - dy*w - dx is valid iff the source
+    # column col(p) - dx stays in-row: mask not_l for dx=+1, not_r for -1.
     pad[:] = jnp.zeros(pad.shape, pad.dtype)
-    g = g_ref[0].reshape(h, w, cb)
-    pad[1:h + 1, 1:w + 1, :] = g
+    g = g_ref[0]
+    pad[w + 1:w + 1 + n, :] = g
     g32 = g.astype(jnp.float32)
 
-    dx = jnp.zeros((h, w, cb), jnp.float32)
-    for ky in range(3):
-        for kx in range(3):
-            dx = dx + (pad[2 - ky:2 - ky + h, 2 - kx:2 - kx + w, :]
-                       .astype(jnp.float32)
-                       * k_ref[ky, kx, :].astype(jnp.float32))
-    dx_ref[0] = dx.reshape(h * w, cb).astype(dx_ref.dtype)
+    dxa = jnp.zeros((n, cb), jnp.float32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            o = w + 1 - dy * w - dx
+            t = pad[o:o + n, :]
+            t = t.astype(jnp.float32)
+            if dx == 1:
+                t = jnp.where(not_l, t, 0.0)
+            elif dx == -1:
+                t = jnp.where(not_r, t, 0.0)
+            dxa = dxa + t * k_ref[dy + 1, dx + 1, :].astype(jnp.float32)
+    dx_ref[0] = dxa.astype(dx_ref.dtype)
 
-    # Phase 2 — pad re-holds x: dk/db reduce over space, accumulated
-    # across the (innermost) batch grid axis.
-    xpad = pad
-    xpad[:] = jnp.zeros(xpad.shape, xpad.dtype)
-    xpad[1:h + 1, 1:w + 1, :] = x_ref[0].reshape(h, w, cb)
+    # Phase 2 — pad re-holds x: dk[t] = sum_p g[p] x[p + t] (fwd masks),
+    # db = sum_p g[p]; both accumulated across the (innermost) batch axis.
+    pad[:] = jnp.zeros(pad.shape, pad.dtype)
+    pad[w + 1:w + 1 + n, :] = x_ref[0]
     taps = []
-    for ky in range(3):
-        for kx in range(3):
-            taps.append(jnp.sum(
-                xpad[ky:ky + h, kx:kx + w, :].astype(jnp.float32) * g32,
-                axis=(0, 1)))
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            o = w + 1 + dy * w + dx
+            t = pad[o:o + n, :]
+            t = t.astype(jnp.float32)
+            if dx == -1:
+                t = jnp.where(not_l, t, 0.0)
+            elif dx == 1:
+                t = jnp.where(not_r, t, 0.0)
+            taps.append(jnp.sum(t * g32, axis=0))
     dk = jnp.stack(taps).reshape(3, 3, cb)
-    db = jnp.sum(g32, axis=(0, 1)).reshape(1, cb)
+    db = jnp.sum(g32, axis=0).reshape(1, cb)
 
     @pl.when(b == 0)
     def _():
@@ -135,7 +164,7 @@ def _fwd_impl(x: Array, kernel: Array, bias: Array, h: int, w: int) -> Array:
         ],
         out_specs=pl.BlockSpec((1, n, cb), lambda i, b: (b, 0, i),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((h + 2, w + 2, cb), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((h * w + 2 * w + 2, cb), x.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * bsz * n * c,
             bytes_accessed=2 * bsz * n * c * x.dtype.itemsize,
@@ -172,7 +201,7 @@ def _bwd_impl(x: Array, kernel: Array, g: Array, h: int, w: int):
             pl.BlockSpec((1, cb), lambda i, b: (0, i),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((h + 2, w + 2, cb), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((h * w + 2 * w + 2, cb), x.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * bsz * n * c * 3,
             bytes_accessed=3 * bsz * n * c * x.dtype.itemsize,

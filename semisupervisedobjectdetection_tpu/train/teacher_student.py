@@ -219,6 +219,93 @@ def labeled_step(teacher_state: TrainState, student_state: TrainState,
                           sup, self_sup)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "denoise_label",
+                                             "threshold", "train_mode"),
+                   donate_argnames=("teacher_state", "student_state"))
+def labeled_step_stacked(teacher_state: TrainState,
+                         student_state: TrainState,
+                         images: Array, ground_truth: Array,
+                         supervise_weight: Array, cfg: MiTConfig,
+                         denoise_label: bool = True,
+                         threshold: float = pseudo.PSEUDO_MASK_THRESHOLD,
+                         train_mode: bool = False,
+                         rng: Array | None = None) -> LabeledStepOut:
+    """Phase B fused across the two models: ONE vmapped forward/backward
+    over stacked [teacher, student] params.
+
+    Teacher and student share the architecture and the input batch, so
+    stacking their params on a leading axis turns two sequential
+    fwd+bwd passes into one batched pass — every matmul/scan runs once at
+    double width, halving kernel-dispatch and scan-loop overhead (a TPU
+    throughput optimization over `labeled_step`; no reference analogue).
+
+    The math is IDENTICAL to `labeled_step`: the combined loss
+    `teacher_loss + student_total` only couples the models through
+    stop-gradients (the denoised target and the student's self-supervision
+    mask), so d(total)/d(teacher params) == d(teacher_loss)/d(teacher
+    params) and likewise for the student — verified against `labeled_step`
+    in tests/test_stacked_step.py. NaN-skip gating stays per-model
+    (teacher on its own loss, student on its total, ref
+    `SegFormerModel.py:160`)."""
+    t_rng = s_rng = None
+    if rng is not None:
+        t_rng, s_rng = jax.random.split(rng)
+
+    stacked_params = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                                  teacher_state.params,
+                                  student_state.params)
+    has_stats = bool(teacher_state.batch_stats)
+    stacked_stats = None
+    if has_stats:
+        stacked_stats = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                                     teacher_state.batch_stats,
+                                     student_state.batch_stats)
+    rngs = None
+    if train_mode and rng is not None:
+        rngs = jnp.stack([t_rng, s_rng])
+
+    def fwd_one(params, stats, r):
+        variables = {"params": params}
+        if stats is not None:
+            variables["batch_stats"] = stats
+        return forward_masks(cfg, variables, images, train_mode=train_mode,
+                             rng=r)
+
+    def loss_fn(sp):
+        preds, _, new_stats = jax.vmap(
+            fwd_one, in_axes=(0, 0 if has_stats else None,
+                              0 if rngs is not None else None)
+        )(sp, stacked_stats, rngs)
+        t_pred, s_pred = preds[0], preds[1]
+        if denoise_label:
+            teacher_mask = pseudo.denoise_labels(
+                jax.lax.stop_gradient(t_pred), ground_truth, threshold)
+            teacher_loss = losses.dice_loss(t_pred, teacher_mask)
+        else:
+            teacher_loss = losses.dice_loss(t_pred, ground_truth)
+            teacher_mask = jax.lax.stop_gradient(t_pred)
+        sup = losses.dice_loss(s_pred, ground_truth)
+        self_sup = losses.dice_loss(s_pred, teacher_mask)
+        total = supervise_weight * sup + (1.0 - supervise_weight) * self_sup
+        return teacher_loss + total, (teacher_loss, sup, self_sup, total,
+                                      new_stats)
+
+    (_, (teacher_loss, sup, self_sup, total, new_stats)), grads = \
+        jax.value_and_grad(loss_fn, has_aux=True)(stacked_params)
+
+    teacher_state = teacher_state.apply_gradients(
+        jax.tree.map(lambda g: g[0], grads), teacher_loss)
+    student_state = student_state.apply_gradients(
+        jax.tree.map(lambda g: g[1], grads), total)
+    if new_stats is not None:
+        teacher_state = teacher_state.replace(
+            batch_stats=jax.tree.map(lambda s: s[0], new_stats))
+        student_state = student_state.replace(
+            batch_stats=jax.tree.map(lambda s: s[1], new_stats))
+    return LabeledStepOut(teacher_state, student_state, total, teacher_loss,
+                          sup, self_sup)
+
+
 def copy_student_to_teacher(teacher_state: TrainState,
                             student_state: TrainState) -> TrainState:
     """Hard teacher reset from the student every 5 epochs when enabled
