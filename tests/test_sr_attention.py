@@ -65,3 +65,32 @@ def test_reference_attention_helper_consistent():
     a = np.asarray(_reference_attention(q, k, v, 2))
     b = np.asarray(xla_attention(q, k, v, 2, 0.0, True, None))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_pallas_backward_matches_xla_blocks_and_padding():
+    """Direct parity of the Pallas backward (_backward) vs the XLA-einsum
+    VJP at a shape exercising key padding (nk=200 -> 256), multiple query
+    blocks with a ragged tail (nq=520 over block_q=256), and dk/dv
+    accumulation across the q-block grid axis."""
+    from semisupervisedobjectdetection_tpu.ops.sr_attention import (
+        _backward,
+        _xla_vjp_bwd,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(5)
+    h, c = 4, 64
+    q = jnp.asarray(rng.normal(size=(2, 520, c)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 200, c)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 200, c)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(2, 520, c)), jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        dq, dk, dv = _backward(q, k, v, g, h)
+    rq, rk, rv = _xla_vjp_bwd(q, k, v, g, h)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv),
+                               atol=2e-4, rtol=1e-3)
