@@ -44,7 +44,7 @@ def main() -> None:
     parser.add_argument("--iters", type=int, default=8)
     parser.add_argument("--size", type=int, default=0)
     parser.add_argument("--mode", choices=["reference", "improved"],
-                        default="reference",
+                        default="improved",
                         help="reference: the exact reference algorithm "
                         "(phase-A teacher update is a no-op — its loss is "
                         "built under no_grad, so backward populates no "
