@@ -79,6 +79,12 @@ class MiTConfig:
     # consecutive layers at the cost of compile time / code size).
     scan_unroll: int = 1
 
+    # Serving quantization: "none" (train/predict in cfg.dtype) or "int8"
+    # (dense kernels as int8 with per-channel scales + dynamic activation
+    # quantization — inference only; convert a trained checkpoint with
+    # `ops.quant.quantize_dense_params`).
+    quant: str = "none"
+
     @property
     def num_stages(self) -> int:
         return len(self.depths)

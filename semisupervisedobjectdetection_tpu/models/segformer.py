@@ -57,6 +57,15 @@ def _dtype_of(cfg: MiTConfig):
     return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
 
+def _dense_cls(quant: str):
+    """nn.Dense for training; QDense (int8 weights, dynamic activation
+    quantization — ops/quant.py) for the serving path."""
+    if quant == "int8":
+        from semisupervisedobjectdetection_tpu.ops.quant import QDense
+        return QDense
+    return nn.Dense
+
+
 def drop_path(x: Array, rate: Array, deterministic: bool, rng) -> Array:
     """Per-sample stochastic depth (ref `modeling_segformer.py:85-117`)."""
     if deterministic:
@@ -140,14 +149,16 @@ class EfficientSelfAttention(nn.Module):
     eps: float
     dtype: Any
     attn_impl: str = "xla"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: Array, h: int, w: int, n_prefix: int,
                  deterministic: bool) -> Array:
         b, n, c = x.shape
+        Dense = _dense_cls(self.quant)
         q = checkpoint_name(
-            nn.Dense(self.hidden_size, dtype=self.dtype,
-                     kernel_init=dense_init, name="query")(x), "q")
+            Dense(self.hidden_size, dtype=self.dtype,
+                  kernel_init=dense_init, name="query")(x), "q")
         kv_in = x
         if self.sr_ratio > 1:
             prefix = x[:, :n_prefix, :]
@@ -165,11 +176,11 @@ class EfficientSelfAttention(nn.Module):
                                  name="sr_norm")(kv_in)
         kv_in = checkpoint_name(kv_in, "kv_in")
         k = checkpoint_name(
-            nn.Dense(self.hidden_size, dtype=self.dtype,
-                     kernel_init=dense_init, name="key")(kv_in), "k")
+            Dense(self.hidden_size, dtype=self.dtype,
+                  kernel_init=dense_init, name="key")(kv_in), "k")
         v = checkpoint_name(
-            nn.Dense(self.hidden_size, dtype=self.dtype,
-                     kernel_init=dense_init, name="value")(kv_in), "v")
+            Dense(self.hidden_size, dtype=self.dtype,
+                  kernel_init=dense_init, name="value")(kv_in), "v")
 
         rng = None
         if self.attention_dropout > 0.0 and not deterministic:
@@ -191,8 +202,8 @@ class EfficientSelfAttention(nn.Module):
                                 self.attention_dropout, deterministic, rng)
         ctx = checkpoint_name(ctx, "ctx")
         # SelfOutput projection (ref `modeling_segformer.py:233-242`).
-        out = nn.Dense(self.hidden_size, dtype=self.dtype,
-                       kernel_init=dense_init, name="out")(ctx)
+        out = Dense(self.hidden_size, dtype=self.dtype,
+                    kernel_init=dense_init, name="out")(ctx)
         out = nn.Dropout(self.hidden_dropout, deterministic=deterministic)(out)
         return out
 
@@ -228,13 +239,15 @@ class MixFFN(nn.Module):
     dtype: Any
     gelu_approx: bool = False
     dwconv_impl: str = "xla"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: Array, h: int, w: int,
                  deterministic: bool) -> Array:
         b, n, c = x.shape
-        x = nn.Dense(self.mlp_hidden, dtype=self.dtype,
-                     kernel_init=dense_init, name="dense1")(x)
+        Dense = _dense_cls(self.quant)
+        x = Dense(self.mlp_hidden, dtype=self.dtype,
+                  kernel_init=dense_init, name="dense1")(x)
         x = checkpoint_name(x, "ffn1")
         if self.dwconv_impl == "pallas":
             x = TokenDWConv(self.mlp_hidden, self.dtype,
@@ -249,8 +262,8 @@ class MixFFN(nn.Module):
         x = nn.gelu(x, approximate=self.gelu_approx)
         x = checkpoint_name(x, "gelu")
         x = nn.Dropout(self.hidden_dropout, deterministic=deterministic)(x)
-        x = nn.Dense(self.hidden_size, dtype=self.dtype,
-                     kernel_init=dense_init, name="dense2")(x)
+        x = Dense(self.hidden_size, dtype=self.dtype,
+                  kernel_init=dense_init, name="dense2")(x)
         x = nn.Dropout(self.hidden_dropout, deterministic=deterministic)(x)
         return x
 
@@ -280,6 +293,7 @@ class Block(nn.Module):
     attn_impl: str = "xla"
     gelu_approx: bool = False
     dwconv_impl: str = "xla"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, carry, per_layer):
@@ -305,7 +319,7 @@ class Block(nn.Module):
         attn_out = EfficientSelfAttention(
             self.hidden_size, self.num_heads, self.sr_ratio,
             self.attention_dropout, self.hidden_dropout, self.eps,
-            self.dtype, self.attn_impl, name="attention")(
+            self.dtype, self.attn_impl, self.quant, name="attention")(
                 checkpoint_name(
                     nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
                                  name="layer_norm_1")(stream), "ln1"),
@@ -320,7 +334,8 @@ class Block(nn.Module):
         mlp_out = MixFFN(self.hidden_size, int(self.hidden_size *
                                                self.mlp_ratio),
                          self.hidden_dropout, self.dtype,
-                         self.gelu_approx, self.dwconv_impl, name="mlp")(
+                         self.gelu_approx, self.dwconv_impl, self.quant,
+                         name="mlp")(
             checkpoint_name(
                 nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
                              name="layer_norm_2")(tokens), "ln2"),
@@ -434,7 +449,7 @@ class MiTEncoder(nn.Module):
                 cfg.attention_dropout, cfg.hidden_dropout,
                 cfg.layer_norm_eps, dtype, self.deterministic,
                 cfg.attn_impl, cfg.gelu_approx, cfg.dwconv_impl,
-                name=f"block_{i}")(
+                cfg.quant, name=f"block_{i}")(
                     (tokens.reshape(b, h, w, c), carried),
                     (stage_dprs, prompt_per_layer, prompt_shared))
 
@@ -492,17 +507,18 @@ class DecodeHead(nn.Module):
         # checkpoints are unchanged; stage i reads rows
         # [(n-1-i)*d : (n-i)*d] (reversed concat order, ref `:776`).
         fuse = FuseKernel(d * n, d, name="linear_fuse")
+        Dense = _dense_cls(cfg.quant)
 
         acc = None
         for i, hs in enumerate(hidden_states):
             b, h, w, c = hs.shape
-            x = nn.Dense(d, dtype=dtype, kernel_init=dense_init,
-                         name=f"linear_c_{i}")(hs.reshape(b, h * w, c))
+            x = Dense(d, dtype=dtype, kernel_init=dense_init,
+                      name=f"linear_c_{i}")(hs.reshape(b, h * w, c))
             if cls_final is not None:
                 # cls_proj: Linear(last_hidden -> decoder_hidden), added to
                 # every spatial token (ref `modeling_segformer.py:717-724`).
-                cls_states = nn.Dense(d, dtype=dtype, kernel_init=dense_init,
-                                      name=f"cls_proj_{i}")(
+                cls_states = Dense(d, dtype=dtype, kernel_init=dense_init,
+                                   name=f"cls_proj_{i}")(
                     cls_final.astype(dtype))
                 x = x + cls_states  # (B,1,D) broadcasts over tokens
             w_slice = fuse((n - 1 - i) * d, d, dtype)

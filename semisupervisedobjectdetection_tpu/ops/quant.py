@@ -1,0 +1,113 @@
+"""Int8 inference path: weight quantization + dynamic-activation int8
+matmul for the SegFormer dense layers.
+
+TPU v5e executes int8 x int8 -> int32 on the MXU at ~2x the bf16 rate
+(394 vs 197 TOPS), so for serving we quantize the dense kernels (q/k/v/
+attention-out, MixFFN dense1/dense2, decode-head linear_c) per-output-
+channel to int8 and quantize activations dynamically per-tensor at run
+time. Convs (patch embeds, SR reduction, dwconv, classifier) stay in
+bf16 — they are a small FLOP share and more accuracy-sensitive.
+
+No reference analogue (the reference serves f32 torch); this is a
+TPU-serving addition. Accuracy is guarded by tests/test_quant.py
+(kernel-level relative error and model-level mask agreement).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+
+def quantize_weight(w: Array) -> tuple[Array, Array]:
+    """Per-output-channel symmetric int8 quantization of a (in, out)
+    kernel. Returns (int8 kernel, f32 per-out-channel scale)."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale.astype(jnp.float32)
+
+
+def int8_matmul(x: Array, wq: Array, wscale: Array) -> Array:
+    """Dynamic-activation int8 matmul: x (..., in) f32/bf16 against an
+    int8 kernel (in, out) with per-out-channel scales. Activations are
+    quantized per-tensor (symmetric abs-max); accumulation is int32 on
+    the MXU; output dequantizes to f32."""
+    x32 = x.astype(jnp.float32)
+    xmax = jnp.max(jnp.abs(x32))
+    xscale = jnp.maximum(xmax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x32 / xscale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (xscale * wscale)
+
+
+class QDense(nn.Module):
+    """Drop-in for `nn.Dense` serving int8 weights.
+
+    Param pytree: {kernel: int8 (in, out), kernel_scale: f32 (out,),
+    bias: f32 (out,)} — produced from a trained f32 checkpoint by
+    `quantize_dense_params`. Fresh `init` yields zero weights (the int8
+    path is inference-only; training runs the f32/bf16 modules)."""
+
+    features: int
+    dtype: Any = jnp.float32
+    kernel_init: Any = None    # signature parity with nn.Dense; unused
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", lambda key, shape: jnp.zeros(shape, jnp.int8),
+            (in_features, self.features))
+        scale = self.param("kernel_scale", nn.initializers.ones,
+                           (self.features,))
+        y = int8_matmul(x, kernel, scale)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            y = y + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+def quantize_dense_params(params: dict) -> dict:
+    """Convert a trained f32 SegFormer param tree into the int8-serving
+    tree: every 2-D `kernel` leaf (a Dense) becomes {kernel: int8,
+    kernel_scale}; conv kernels (ndim != 2) and all other leaves pass
+    through unchanged. Stacked scan params (leading layer axes with a
+    trailing (in, out)) are quantized per layer via vmap."""
+
+    def convert(tree):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for name, leaf in tree.items():
+            if isinstance(leaf, dict):
+                out[name] = convert(leaf)
+                continue
+            if name == "kernel" and leaf.ndim >= 2 and _is_dense_kernel(
+                    tree):
+                q = quantize_weight
+                for _ in range(leaf.ndim - 2):
+                    q = jax.vmap(q)
+                wq, scale = q(leaf)
+                out["kernel"] = wq
+                out["kernel_scale"] = scale
+            else:
+                out[name] = leaf
+        return out
+
+    def _is_dense_kernel(tree) -> bool:
+        # Dense kernels are (in, out), or (depth, in, out) when stacked
+        # by the per-stage scan. Conv kernels carry spatial dims and are
+        # 4-D (unstacked) or 5-D (stacked) — never 2-D/3-D.
+        return tree["kernel"].ndim in (2, 3)
+
+    return convert(params)

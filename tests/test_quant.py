@@ -1,0 +1,77 @@
+"""Int8 serving path (ops/quant.py): kernel-level quantized matmul error,
+param-tree conversion, and model-level mask agreement vs the f32 model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semisupervisedobjectdetection_tpu.core.config import mit_b0
+from semisupervisedobjectdetection_tpu.models.segformer import (
+    SegFormer,
+    predict_masks,
+)
+from semisupervisedobjectdetection_tpu.ops.quant import (
+    int8_matmul,
+    quantize_dense_params,
+    quantize_weight,
+)
+
+CFG = mit_b0(depths=(1, 1, 2, 1), hidden_sizes=(16, 32, 64, 128),
+             num_heads=(1, 2, 4, 8), decoder_hidden=32)
+
+
+def test_int8_matmul_relative_error():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(64, 96)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(96, 128)), jnp.float32)
+    wq, ws = quantize_weight(w)
+    y = int8_matmul(x, wq, ws)
+    ref = x @ w
+    rel = float(jnp.linalg.norm(y - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02, rel
+
+
+def test_quantize_dense_params_structure():
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = jax.jit(SegFormer(CFG).init)(jax.random.PRNGKey(0), x)
+    qparams = quantize_dense_params(variables["params"])
+
+    # Stacked scanned Dense: int8 kernel + per-layer scale.
+    blk = qparams["encoder"]["block_2"]["attention"]["query"]
+    assert blk["kernel"].dtype == jnp.int8
+    assert blk["kernel"].shape == (2, 64, 64)
+    assert blk["kernel_scale"].shape == (2, 64)
+
+    # Conv kernels untouched.
+    assert qparams["encoder"]["patch_embed_0"]["proj"]["kernel"].dtype \
+        == jnp.float32
+    assert "kernel_scale" not in qparams["encoder"]["patch_embed_0"]["proj"]
+    dw = qparams["encoder"]["block_2"]["mlp"]["dwconv"]
+    assert dw["kernel"].dtype == jnp.float32
+
+    # Decode head Dense quantized.
+    assert qparams["decode_head"]["linear_c_0"]["kernel"].dtype == jnp.int8
+
+
+def test_int8_model_masks_agree():
+    """Binarized masks from the int8 model agree with f32 on nearly every
+    pixel, and raw logits stay close in RMS terms."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(size=(2, 64, 64, 3)), jnp.float32)
+    variables = jax.jit(SegFormer(CFG).init)(jax.random.PRNGKey(2), x)
+
+    logits_f32, _ = jax.jit(SegFormer(CFG).apply)(variables, x)
+
+    qvars = {"params": quantize_dense_params(variables["params"]),
+             "batch_stats": variables["batch_stats"]}
+    qcfg = CFG.replace(quant="int8")
+    logits_q, _ = jax.jit(SegFormer(qcfg).apply)(qvars, x)
+
+    rms = float(jnp.sqrt(jnp.mean((logits_q - logits_f32) ** 2)))
+    scale = float(jnp.sqrt(jnp.mean(logits_f32 ** 2)))
+    assert rms < 0.1 * scale + 1e-3, (rms, scale)
+
+    m_f = np.asarray(predict_masks(logits_f32, (64, 64))) > 0.5
+    m_q = np.asarray(predict_masks(logits_q, (64, 64))) > 0.5
+    agree = (m_f == m_q).mean()
+    assert agree > 0.98, agree
