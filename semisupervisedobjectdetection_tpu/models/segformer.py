@@ -229,6 +229,21 @@ class TokenDWConv(nn.Module):
                          bias.astype(self.dtype), h, w)
 
 
+class _FFNParams(nn.Module):
+    """Param holder matching nn.Dense/nn.Conv pytrees ({kernel, bias}) for
+    the fused-FFN path, so checkpoints are interchangeable with the
+    unfused chain."""
+
+    spec: Tuple   # (kernel_shape, kernel_init)
+
+    @nn.compact
+    def __call__(self):
+        shape, init = self.spec
+        kernel = self.param("kernel", init, shape)
+        bias = self.param("bias", nn.initializers.zeros, (shape[-1],))
+        return kernel, bias
+
+
 class MixFFN(nn.Module):
     """Mix-FFN: dense -> 3x3 depthwise conv -> GELU -> dense
     (ref `modeling_segformer.py:283-317`)."""
@@ -245,6 +260,28 @@ class MixFFN(nn.Module):
     def __call__(self, x: Array, h: int, w: int,
                  deterministic: bool) -> Array:
         b, n, c = x.shape
+        if self.dwconv_impl == "fused":
+            # Whole-FFN fused Pallas kernels (ops/fused_ffn.py). Same param
+            # pytree as the unfused chain; dropout must be inactive (the
+            # reference's hidden_dropout is 0.0).
+            if self.hidden_dropout > 0.0 and not deterministic:
+                raise ValueError("dwconv_impl='fused' requires inactive "
+                                 "hidden dropout")
+            from semisupervisedobjectdetection_tpu.ops.fused_ffn import (
+                fused_ffn,
+            )
+            m = self.mlp_hidden
+            w1, b1 = _FFNParams(((c, m), dense_init), name="dense1")()
+            kd, bk = _FFNParams(((3, 3, 1, m),
+                                 nn.initializers.lecun_normal()),
+                                name="dwconv")()
+            w2, b2 = _FFNParams(((m, self.hidden_size), dense_init),
+                                name="dense2")()
+            dt = self.dtype
+            return fused_ffn(x, w1.astype(dt), b1.astype(dt),
+                             kd.reshape(3, 3, m).astype(dt),
+                             bk.astype(dt), w2.astype(dt), b2.astype(dt),
+                             h, w, self.gelu_approx).astype(dt)
         Dense = _dense_cls(self.quant)
         x = Dense(self.mlp_hidden, dtype=self.dtype,
                   kernel_init=dense_init, name="dense1")(x)

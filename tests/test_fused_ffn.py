@@ -77,3 +77,37 @@ def test_nonsquare_hw_and_bigger_batch():
     for a, b_ in zip(g, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_model_level_fused_ffn_parity():
+    """SegFormer with dwconv_impl='fused' shares the unfused param pytree
+    and matches logits + grads within bf16-chain tolerance."""
+    from semisupervisedobjectdetection_tpu.core.config import mit_b0
+    from semisupervisedobjectdetection_tpu.models.segformer import SegFormer
+
+    cfg = mit_b0(depths=(1, 1, 1, 1), hidden_sizes=(32, 64, 128, 256),
+                 num_heads=(1, 2, 4, 8), decoder_hidden=32)
+    x = jnp.asarray(np.random.default_rng(0).uniform(size=(2, 64, 64, 3)),
+                    jnp.float32)
+    variables = jax.jit(SegFormer(cfg).init)(jax.random.PRNGKey(0), x)
+
+    outs, grads = {}, {}
+    for impl in ("xla", "fused"):
+        c = cfg.replace(dwconv_impl=impl)
+
+        def f(params):
+            logits, _ = SegFormer(c).apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]}, x)
+            return jnp.mean(logits ** 2), logits
+
+        (_, logits), g = jax.jit(
+            jax.value_and_grad(f, has_aux=True))(variables["params"])
+        outs[impl], grads[impl] = logits, g
+
+    np.testing.assert_allclose(np.asarray(outs["fused"]),
+                               np.asarray(outs["xla"]),
+                               rtol=1e-3, atol=1e-4)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4),
+        grads["fused"], grads["xla"])
