@@ -100,6 +100,8 @@ class SegFormerModel:
         self.seed = seed
         self._frozen_stages: List[int] = []
         self._rng = jax.random.PRNGKey(seed)
+        self._qvars = None           # int8 serving snapshot (see quantize)
+        self._qcfg = None
         self._init_state()
 
         if hf_weights:
@@ -169,17 +171,45 @@ class SegFormerModel:
         self._init_state(keep_params=self.state.params,
                          keep_stats=self.state.batch_stats)
 
+    def quantize(self) -> None:
+        """Snapshot the current weights into the int8 serving path
+        (`ops/quant.py`): dense kernels become int8 with per-channel
+        scales, activations quantize dynamically at run time — ~2x MXU
+        rate on TPU v5e. `predict` then runs int8; training methods keep
+        the f32 state (call `quantize()` again to refresh the snapshot,
+        `dequantize()` to serve f32 again). TPU-serving addition; no
+        reference analogue."""
+        from semisupervisedobjectdetection_tpu.ops.quant import (
+            quantize_dense_params,
+        )
+        self._qvars = {"params": quantize_dense_params(self.state.params)}
+        if self.state.batch_stats:
+            self._qvars["batch_stats"] = self.state.batch_stats
+        self._qcfg = self.cfg.replace(quant="int8")
+
+    def dequantize(self) -> None:
+        self._qvars = None
+        self._qcfg = None
+
+    def _serving(self):
+        """(cfg, variables) used by predict: the int8 snapshot when
+        `quantize()` is active, else the live train state."""
+        if self._qvars is not None:
+            return self._qcfg, self._qvars
+        return self.cfg, self.state.variables()
+
     def predict(self, img, mask=None, isEval: bool = True,
                 use_loss: str = "dice", output_cls_token: bool = False):
         """Forward + loss selection (ref `:103-139`). Returns masks, or
         (loss, masks[, cls_token]) when a target is given."""
         images = jnp.asarray(_to_nhwc(img))
+        scfg, svars = self._serving()
         need_logits = use_loss in ("mse", "bce")
         if need_logits or (output_cls_token and self.cfg.use_cls):
             # One forward returning raw upsampled logits; masks derive from
             # them so no second pass is needed.
             logits, cls_list, _ = _jit_forward_logits(
-                self.cfg, self.state.variables(), images, train_mode=False)
+                scfg, svars, images, train_mode=False)
             pred = jax.nn.sigmoid(logits)
             if pred.ndim == 4 and pred.shape[-1] == 1:
                 pred = pred[..., 0]
@@ -190,7 +220,9 @@ class SegFormerModel:
                 if self.cfg.use_cls else None)
         else:
             logits = None
-            pred = sup_steps.predict_step(self.state, images, self.cfg)
+            masks_, _, _ = _jit_forward_masks(scfg, svars, images,
+                                              train_mode=False)
+            pred = masks_
             cls_for_output = None
         if mask is None and use_loss != "mse":
             return np.asarray(pred)

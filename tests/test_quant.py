@@ -75,3 +75,20 @@ def test_int8_model_masks_agree():
     m_q = np.asarray(predict_masks(logits_q, (64, 64))) > 0.5
     agree = (m_f == m_q).mean()
     assert agree > 0.98, agree
+
+
+def test_api_quantize_roundtrip():
+    from semisupervisedobjectdetection_tpu.api import SegFormerModel
+
+    m = SegFormerModel(config=CFG)
+    img = (np.random.default_rng(0).uniform(
+        size=(2, 3, 64, 64)) * 255).astype(np.uint8)
+    f32_masks = m.predict(img)
+    m.quantize()
+    q_masks = m.predict(img)
+    assert q_masks.shape == f32_masks.shape
+    agree = ((q_masks > 0.5) == (f32_masks > 0.5)).mean()
+    assert agree > 0.98, agree
+    m.dequantize()
+    back = m.predict(img)
+    np.testing.assert_allclose(back, f32_masks, atol=1e-6)
