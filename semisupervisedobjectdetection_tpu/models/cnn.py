@@ -12,7 +12,8 @@ provides the same five heads over a shared ResNet/ResNeXt encoder:
 - `deeplabv3p`: ASPP (rates 12/24/36) + low-level fusion decoder.
 - `pspnet`: pyramid pooling module (1/2/3/6 bins).
 - `linknet`: transposed-conv decoder with additive skips.
-- `pan`: pyramid attention (FPA-style global context + GAU skip gates).
+- `pan`: Pyramid Attention Network — published FPA pyramid block + GAU
+  global-attention upsampling (Li et al. 2018).
 
 ImageNet weights are not bundled (zero-egress build); encoders initialize
 randomly, and `checkpoint/resnext_import.py` imports a torchvision-format
@@ -153,6 +154,59 @@ class PPM(nn.Module):
         return jnp.concatenate(outs, axis=-1)
 
 
+class FPA(nn.Module):
+    """Feature Pyramid Attention (PAN, Li et al. 2018, §3.1): a U-shaped
+    7x7/5x5/3x3 stride-2 pyramid whose fused attention map multiplies the
+    1x1-conv'd mid branch, plus a broadcast global-pooling branch."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        gp = jnp.mean(x, axis=(1, 2), keepdims=True)
+        gp = ConvBN(self.features, (1, 1), dtype=self.dtype)(gp, train)
+        gp = jnp.broadcast_to(gp, (b, h, w, self.features))
+
+        mid = ConvBN(self.features, (1, 1), dtype=self.dtype)(x, train)
+
+        d1 = ConvBN(self.features, (7, 7), strides=(2, 2),
+                    dtype=self.dtype)(x, train)
+        d2 = ConvBN(self.features, (5, 5), strides=(2, 2),
+                    dtype=self.dtype)(d1, train)
+        d3 = ConvBN(self.features, (3, 3), strides=(2, 2),
+                    dtype=self.dtype)(d2, train)
+        c1 = ConvBN(self.features, (7, 7), dtype=self.dtype)(d1, train)
+        c2 = ConvBN(self.features, (5, 5), dtype=self.dtype)(d2, train)
+        c3 = ConvBN(self.features, (3, 3), dtype=self.dtype)(d3, train)
+        u = _resize_to(c3, d2.shape[1:3]) + c2
+        u = _resize_to(u, d1.shape[1:3]) + c1
+        u = _resize_to(u, (h, w))
+        return mid * u + gp
+
+
+class GAU(nn.Module):
+    """Global Attention Upsample (PAN §3.2): the high-level feature's
+    global context gates the 3x3-conv'd low-level feature; the gated skip
+    adds to the upsampled high-level stream."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, low, y, train: bool = False):
+        low2 = ConvBN(self.features, (3, 3), dtype=self.dtype)(low, train)
+        att = jnp.mean(y, axis=(1, 2), keepdims=True)
+        att = nn.Conv(self.features, (1, 1), use_bias=False,
+                      dtype=self.dtype)(att)
+        att = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=self.dtype)(att)
+        att = jax.nn.sigmoid(att)
+        y_up = _resize_to(y, low.shape[1:3])
+        return y_up + low2 * att
+
+
 class SegmentationCNN(nn.Module):
     """One of the five baseline architectures over the shared encoder."""
 
@@ -209,19 +263,14 @@ class SegmentationCNN(nn.Module):
                 y = y + skip
             y = ConvBN(64, (3, 3), dtype=d)(y, train)
         elif self.arch == "pan":
-            # FPA-style: global pooled context gate on f32 + GAU upsampling.
-            gp = jnp.mean(f32, axis=(1, 2), keepdims=True)
-            gp = ConvBN(256, (1, 1), dtype=d)(gp, train)
-            y = ConvBN(256, (3, 3), dtype=d)(f32, train) * \
-                jax.nn.sigmoid(gp)
+            # Published PAN: FPA on the stride-32 map, then GAU upsampling
+            # through the skips (Li et al. 2018; smp's decoder_channels
+            # default 32 — `baseline_segmentation.py:154-162` uses smp.PAN
+            # defaults).
+            dc = 32
+            y = FPA(dc, d)(f32, train)
             for skip in (f16, f8, f4):
-                y = _resize_to(y, skip.shape[1:3])
-                gate = jnp.mean(y, axis=(1, 2), keepdims=True)
-                gate = ConvBN(skip.shape[-1], (1, 1), dtype=d,
-                              use_relu=False)(gate, train)
-                s = ConvBN(skip.shape[-1], (3, 3), dtype=d)(skip, train)
-                y = ConvBN(skip.shape[-1], (1, 1), dtype=d)(y, train) + \
-                    s * jax.nn.sigmoid(gate)
+                y = GAU(dc, d)(skip, y, train)
         else:
             raise ValueError(f"unknown arch: {self.arch}")
 
