@@ -82,6 +82,9 @@ def main(argv=None):
                    help="eval-only from --pretrain-weight")
     p.add_argument("--dump-masks",
                    help="with --predict: dir for GT/pred mask overlays")
+    p.add_argument("--int8", action="store_true",
+                   help="with --predict: serve through the int8 snapshot "
+                   "(SegFormerModel.quantize — ~2x MXU rate on v5e)")
     p.add_argument("--tune-lr",
                    help="comma-separated lrs for grid search on 80/20 split")
     args = p.parse_args(argv)
@@ -121,12 +124,20 @@ def main(argv=None):
                            train_config=tc, config=cfg,
                            hf_weights=args.hf_weights)
     if args.predict:
+        if args.int8:
+            model.quantize()
         losses = []
         dumped = 0
         for bi, (images_u8, masks_u8) in enumerate(loaders["eval"]):
             imgs, masks = common.device_eval_batch(images_u8, masks_u8,
                                                    dcfg)
-            loss, pred = model.eval_one_epoch(imgs, masks)
+            if args.int8:
+                from semisupervisedobjectdetection_tpu import losses as L
+
+                pred = model.predict(np.asarray(imgs))
+                loss = L.dice_argmax_loss(pred, np.asarray(masks))
+            else:
+                loss, pred = model.eval_one_epoch(imgs, masks)
             losses.append(float(loss))
             if args.dump_masks:
                 # deterministic overlay dumps replacing the reference's
