@@ -43,6 +43,9 @@ def main() -> None:
                         help="per-phase batch size (0 = auto)")
     parser.add_argument("--iters", type=int, default=8)
     parser.add_argument("--size", type=int, default=0)
+    parser.add_argument("--serving", action="store_true",
+                        help="measure int8 predict throughput instead of "
+                        "the train step (serving path, ops/quant.py)")
     parser.add_argument("--mode", choices=["reference", "improved"],
                         default="improved",
                         help="reference: the exact reference algorithm "
@@ -56,6 +59,10 @@ def main() -> None:
     args = parser.parse_args()
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 
     from semisupervisedobjectdetection_tpu.core.config import (
@@ -98,6 +105,50 @@ def main() -> None:
     masks = jnp.asarray(rng.uniform(0, 1, (batch, size, size)) > 0.7,
                         jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), images[:1])
+
+    if args.serving:
+        from semisupervisedobjectdetection_tpu.models.segformer import (
+            predict_masks,
+        )
+        from semisupervisedobjectdetection_tpu.ops.quant import (
+            quantize_dense_params,
+        )
+
+        qcfg = cfg.replace(quant="int8")
+        qvars = {"params": quantize_dense_params(variables["params"]),
+                 "batch_stats": variables["batch_stats"]}
+
+        @jax.jit
+        def serve(v, imgs):
+            logits, _ = SegFormer(qcfg).apply(v, imgs)
+            return predict_masks(logits, imgs.shape[1:3])
+
+        t0 = time.time()
+        pred = serve(qvars, images)
+        float(pred[0, 0, 0])
+        compile_s = time.time() - t0
+        times = []
+        for _ in range(max(2, iters // 2)):
+            t0 = time.time()
+            for _ in range(8):
+                pred = serve(qvars, images)
+            float(pred[0, 0, 0])
+            times.append((time.time() - t0) / 8)
+        step_s = float(np.median(times))
+        print(json.dumps({
+            "metric": "int8 predict, MiT-B5 512x512"
+                      if on_tpu and not args.quick else
+                      "int8 predict (quick/cpu config)",
+            "value": round(batch / step_s, 3),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(batch / step_s /
+                                 REFERENCE_IMAGES_PER_SEC, 3),
+        }))
+        print(f"# serving platform={platform} batch={batch} size={size} "
+              f"step_s={step_s:.4f} compile_s={compile_s:.1f}",
+              file=sys.stderr)
+        return
+
     teacher = TrainState.create(variables, tc, lr=5e-7)
     student = TrainState.create(variables, tc, lr=3e-5)
 
