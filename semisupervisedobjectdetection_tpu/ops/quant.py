@@ -36,16 +36,17 @@ def quantize_weight(w: Array) -> tuple[Array, Array]:
 def int8_matmul(x: Array, wq: Array, wscale: Array) -> Array:
     """Dynamic-activation int8 matmul: x (..., in) f32/bf16 against an
     int8 kernel (in, out) with per-out-channel scales. Activations are
-    quantized per-tensor (symmetric abs-max); accumulation is int32 on
-    the MXU; output dequantizes to f32."""
+    quantized per-token (symmetric abs-max per row — an outlier token
+    cannot degrade the rest of the batch); accumulation is int32 on the
+    MXU; output dequantizes as xscale[row] * wscale[col]."""
     x32 = x.astype(jnp.float32)
-    xmax = jnp.max(jnp.abs(x32))
+    xmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
     xscale = jnp.maximum(xmax, 1e-8) / 127.0
     xq = jnp.clip(jnp.round(x32 / xscale), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
-    return acc.astype(jnp.float32) * (xscale * wscale)
+    return acc.astype(jnp.float32) * xscale * wscale
 
 
 class QDense(nn.Module):
