@@ -419,6 +419,71 @@ def _remat_block(remat_spec: str, stage: int):
     raise ValueError(f"unknown remat spec {spec!r}")
 
 
+def _stage_body(mdl: nn.Module, cfg: MiTConfig, i: int, x: Array,
+                deterministic: bool) -> Tuple[Array, Optional[Array]]:
+    """One encoder stage (patch embed -> scanned blocks -> LayerNorm),
+    executed inside the caller's compact scope — shared by `MiTEncoder`
+    (all stages, one scope) and `EncoderStage` (pipeline parallelism:
+    one stage per device, same param names so the pytrees slice apart)."""
+    dtype = _dtype_of(cfg)
+    total_depth = sum(cfg.depths)
+    dprs = np.linspace(0.0, cfg.drop_path_rate, total_depth)
+    cur = sum(cfg.depths[:i])
+    b = x.shape[0]
+
+    c = cfg.hidden_sizes[i]
+    tokens, h, w = OverlapPatchEmbed(
+        c, cfg.patch_sizes[i], cfg.strides[i], cfg.layer_norm_eps,
+        dtype, name=f"patch_embed_{i}")(x.astype(dtype))
+    depth = cfg.depths[i]
+
+    prompt_shared = prompt_per_layer = None
+    t = cfg.prompt_tokens[i]
+    if t > 0:
+        if cfg.prompt_per_layer:
+            prompt_per_layer = mdl.param(
+                f"prompt_tokens_{i}", uniform01_init, (depth, t, c))
+        else:
+            prompt_shared = mdl.param(
+                f"prompt_tokens_{i}", uniform01_init, (t, c))
+
+    carried = None
+    if cfg.cls_tokens[i] > 0:
+        if cfg.cls_tokens[i] != 1:
+            raise NotImplementedError(
+                "cls_tokens per stage must be 0 or 1; the reference "
+                "only ever carries a single CLS token "
+                "(modeling_segformer.py:461-463)")
+        cls_param = mdl.param(f"cls_token_{i}", uniform01_init, (1, c))
+        carried = jnp.broadcast_to(
+            cls_param.astype(dtype)[None], (b, 1, c))
+
+    stage_dprs = jnp.asarray(dprs[cur:cur + depth], dtype=dtype)
+
+    block_cls = _remat_block(cfg.remat, i)
+    ScannedBlock = nn.scan(
+        block_cls,
+        variable_axes={"params": 0},
+        split_rngs={"params": True, "dropout": True, "droppath": True},
+        in_axes=((0, 0, nn.broadcast),),
+        length=depth,
+        unroll=min(cfg.scan_unroll, depth),
+    )
+    (spatial, carried), _ = ScannedBlock(
+        c, cfg.num_heads[i], cfg.sr_ratios[i], cfg.mlp_ratio,
+        cfg.attention_dropout, cfg.hidden_dropout,
+        cfg.layer_norm_eps, dtype, deterministic,
+        cfg.attn_impl, cfg.gelu_approx, cfg.dwconv_impl,
+        cfg.quant, name=f"block_{i}")(
+            (tokens.reshape(b, h, w, c), carried),
+            (stage_dprs, prompt_per_layer, prompt_shared))
+
+    tokens = spatial.reshape(b, h * w, c)
+    tokens = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype,
+                          name=f"layer_norm_{i}")(tokens)
+    return tokens.reshape(b, h, w, c), carried
+
+
 class MiTEncoder(nn.Module):
     """Hierarchical Mix-Transformer encoder (ref `modeling_segformer.py:
     366-487`), stages scanned over their layers."""
@@ -429,74 +494,31 @@ class MiTEncoder(nn.Module):
     @nn.compact
     def __call__(self, pixel_values: Array
                  ) -> Tuple[List[Array], List[Optional[Array]]]:
-        cfg = self.cfg
-        dtype = _dtype_of(cfg)
-        total_depth = sum(cfg.depths)
-        dprs = np.linspace(0.0, cfg.drop_path_rate, total_depth)
-
-        x = pixel_values.astype(dtype)
-        b = x.shape[0]
+        x = pixel_values
         hidden_states: List[Array] = []
         cls_out: List[Optional[Array]] = []
-        cur = 0
-        for i in range(cfg.num_stages):
-            c = cfg.hidden_sizes[i]
-            tokens, h, w = OverlapPatchEmbed(
-                c, cfg.patch_sizes[i], cfg.strides[i], cfg.layer_norm_eps,
-                dtype, name=f"patch_embed_{i}")(x)
-            depth = cfg.depths[i]
-
-            prompt_shared = prompt_per_layer = None
-            t = cfg.prompt_tokens[i]
-            if t > 0:
-                if cfg.prompt_per_layer:
-                    prompt_per_layer = self.param(
-                        f"prompt_tokens_{i}", uniform01_init, (depth, t, c))
-                else:
-                    prompt_shared = self.param(
-                        f"prompt_tokens_{i}", uniform01_init, (t, c))
-
-            carried = None
-            if cfg.cls_tokens[i] > 0:
-                if cfg.cls_tokens[i] != 1:
-                    raise NotImplementedError(
-                        "cls_tokens per stage must be 0 or 1; the reference "
-                        "only ever carries a single CLS token "
-                        "(modeling_segformer.py:461-463)")
-                cls_param = self.param(f"cls_token_{i}", uniform01_init,
-                                       (1, c))
-                carried = jnp.broadcast_to(
-                    cls_param.astype(dtype)[None], (b, 1, c))
-
-            stage_dprs = jnp.asarray(dprs[cur:cur + depth], dtype=dtype)
-            cur += depth
-
-            block_cls = _remat_block(cfg.remat, i)
-            ScannedBlock = nn.scan(
-                block_cls,
-                variable_axes={"params": 0},
-                split_rngs={"params": True, "dropout": True,
-                            "droppath": True},
-                in_axes=((0, 0, nn.broadcast),),
-                length=depth,
-                unroll=min(cfg.scan_unroll, depth),
-            )
-            (spatial, carried), _ = ScannedBlock(
-                c, cfg.num_heads[i], cfg.sr_ratios[i], cfg.mlp_ratio,
-                cfg.attention_dropout, cfg.hidden_dropout,
-                cfg.layer_norm_eps, dtype, self.deterministic,
-                cfg.attn_impl, cfg.gelu_approx, cfg.dwconv_impl,
-                cfg.quant, name=f"block_{i}")(
-                    (tokens.reshape(b, h, w, c), carried),
-                    (stage_dprs, prompt_per_layer, prompt_shared))
-
-            tokens = spatial.reshape(b, h * w, c)
-            tokens = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype,
-                                  name=f"layer_norm_{i}")(tokens)
-            x = tokens.reshape(b, h, w, c)
+        for i in range(self.cfg.num_stages):
+            x, carried = _stage_body(self, self.cfg, i, x,
+                                     self.deterministic)
             hidden_states.append(x)
             cls_out.append(carried)
         return hidden_states, cls_out
+
+
+class EncoderStage(nn.Module):
+    """A single encoder stage as a standalone module whose param names
+    match the slice of `MiTEncoder`'s tree for that stage — apply it with
+    {k: encoder_params[k] for k ending in _i} (used by
+    `parallel/pipeline.py` to place one stage per device)."""
+
+    cfg: MiTConfig
+    stage: int
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, Optional[Array]]:
+        return _stage_body(self, self.cfg, self.stage, x,
+                           self.deterministic)
 
 
 class FuseKernel(nn.Module):
