@@ -7,9 +7,11 @@ sharded over `data`, parameters are replicated, and XLA inserts the gradient
 all-reduce over ICI when the jitted train step consumes sharded batches and
 produces replicated parameter updates.
 
-At MiT-B5 scale (~82M params) data parallelism is the right — and only
-needed — strategy; tensor/pipeline parallelism would add collective latency
-for no memory benefit. `fsdp_shard` additionally shards parameters and
+At MiT-B5 scale (~82M params) data parallelism is the right default
+training strategy; the framework additionally provides FFN tensor
+parallelism (`parallel/tp.py`), spatial/sequence parallelism
+(`parallel/context.py`), inference pipeline parallelism
+(`parallel/pipeline.py`), and here `fsdp_shard`, which shards parameters and
 optimizer state over the data axis (ZeRO-3 style): each leaf is split on
 its largest mesh-divisible axis, GSPMD inserts the all-gather before use
 and the reduce-scatter on the gradients, halving/eighth-ing per-chip
