@@ -68,20 +68,32 @@ def _col_masks(n: int, w: int):
     return col != 0, col != (w - 1)
 
 
+def _tap_read(pad_ref, n: int, w: int, dy, dx, not_l, not_r, flip: bool):
+    """Read one shifted tap from the zero-padded flat-token buffer with
+    the border-column mask. `dy`/`dx` may be traced (fori_loop index) —
+    dynamic slices keep the Mosaic program ~9x smaller than unrolling
+    all taps (the unrolled variant wedged the axon compile service)."""
+    sign = -1 if flip else 1
+    o = w + 1 + sign * (dy * w + dx)
+    t = pad_ref[pl.ds(o, n), :].astype(jnp.float32)
+    lmask, rmask = (dx == 1, dx == -1) if flip else (dx == -1, dx == 1)
+    t = jnp.where(jnp.logical_or(jnp.logical_not(lmask), not_l), t, 0.0)
+    t = jnp.where(jnp.logical_or(jnp.logical_not(rmask), not_r), t, 0.0)
+    return t
+
+
 def _dw_fwd(pad_ref, k_ref, n: int, w: int, not_l, not_r):
-    """9-tap depthwise conv from a zero-padded (n + 2w + 2, m) buffer."""
-    acc = None
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            o = w + 1 + dy * w + dx
-            t = pad_ref[o:o + n, :].astype(jnp.float32)
-            if dx == -1:
-                t = jnp.where(not_l, t, 0.0)
-            elif dx == 1:
-                t = jnp.where(not_r, t, 0.0)
-            term = t * k_ref[dy + 1, dx + 1, :].astype(jnp.float32)
-            acc = term if acc is None else acc + term
-    return acc
+    """9-tap depthwise conv from a zero-padded (n + 2w + 2, m) buffer,
+    taps rolled into a fori_loop (see _tap_read)."""
+    m = pad_ref.shape[-1]
+
+    def body(i, acc):
+        dy, dx = i // 3 - 1, i % 3 - 1
+        t = _tap_read(pad_ref, n, w, dy, dx, not_l, not_r, flip=False)
+        kv = k_ref[pl.ds(dy + 1, 1), pl.ds(dx + 1, 1), :].reshape(1, m)
+        return acc + t * kv.astype(jnp.float32)
+
+    return jax.lax.fori_loop(0, 9, body, jnp.zeros((n, m), jnp.float32))
 
 
 def _ffn_fwd_kernel(x_ref, w1_ref, b1_ref, k_ref, bk_ref, w2_ref, b2_ref,
@@ -136,33 +148,29 @@ def _ffn_bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, k_ref, bk_ref, w2_ref,
     dbk = jnp.sum(dd32, axis=0).reshape(1, -1)
 
     # Depthwise conv grads: dk via fwd-mask taps of h1 against dd; dh1 via
-    # flipped taps of dd (masks swap sides — see ops/dwconv.py).
-    taps = []
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            o = w + 1 + dy * w + dx
-            t = pad[o:o + n, :].astype(jnp.float32)
-            if dx == -1:
-                t = jnp.where(not_l, t, 0.0)
-            elif dx == 1:
-                t = jnp.where(not_r, t, 0.0)
-            taps.append(jnp.sum(t * dd32, axis=0))
-    dk = jnp.stack(taps).reshape(3, 3, -1)
+    # flipped taps of dd (masks swap sides — see ops/dwconv.py). Both tap
+    # groups run as fori_loops (see _tap_read).
+    m = pad.shape[-1]
+
+    def dk_body(i, acc):
+        dy, dx = i // 3 - 1, i % 3 - 1
+        t = _tap_read(pad, n, w, dy, dx, not_l, not_r, flip=False)
+        return acc.at[i].set(jnp.sum(t * dd32, axis=0))
+
+    dk = jax.lax.fori_loop(0, 9, dk_body,
+                           jnp.zeros((9, m), jnp.float32)).reshape(3, 3, m)
 
     pad[:] = jnp.zeros(pad.shape, pad.dtype)
     pad[w + 1:w + 1 + n, :] = dd
-    dh1 = None
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            o = w + 1 - dy * w - dx
-            t = pad[o:o + n, :].astype(jnp.float32)
-            if dx == 1:
-                t = jnp.where(not_l, t, 0.0)
-            elif dx == -1:
-                t = jnp.where(not_r, t, 0.0)
-            term = t * k_ref[dy + 1, dx + 1, :].astype(jnp.float32)
-            dh1 = term if dh1 is None else dh1 + term
-    dh1 = dh1.astype(x.dtype)
+
+    def dh1_body(i, acc):
+        dy, dx = i // 3 - 1, i % 3 - 1
+        t = _tap_read(pad, n, w, dy, dx, not_l, not_r, flip=True)
+        kv = k_ref[pl.ds(dy + 1, 1), pl.ds(dx + 1, 1), :].reshape(1, m)
+        return acc + t * kv.astype(jnp.float32)
+
+    dh1 = jax.lax.fori_loop(0, 9, dh1_body,
+                            jnp.zeros((n, m), jnp.float32)).astype(x.dtype)
 
     # dense1 grads + input grad.
     db1 = jnp.sum(dh1.astype(jnp.float32), axis=0).reshape(1, -1)
