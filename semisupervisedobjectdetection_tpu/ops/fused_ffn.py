@@ -21,6 +21,16 @@ run on the MXU with f32 accumulation; dW1/dW2/dk/db* accumulate in f32
 VMEM across the (innermost) batch grid axis. Parity vs the XLA chain is
 tested in tests/test_fused_ffn.py.
 
+STATUS: CPU-parity-verified; NOT yet deployable on TPU. The current
+Mosaic lowering rejects the tap reads — a dynamic sublane offset must be
+provably a multiple of 8, and the horizontal +-1 token shift is
+fundamentally misaligned ("cannot statically prove that index in
+dimension 0 is a multiple of 8"); the fully-unrolled static-offset
+variant (git history) compiles in principle but appeared to wedge the
+remote compile service at MiT-B5 width. Re-attempt when Mosaic grows
+unaligned dynamic sublane slices, or restructure the taps as lane-domain
+rolls on an (H, W*C) view.
+
 Reference math: `modeling_segformer.py:283-317` (SegformerMixFFN).
 """
 
