@@ -260,16 +260,20 @@ class MixFFN(nn.Module):
     def __call__(self, x: Array, h: int, w: int,
                  deterministic: bool) -> Array:
         b, n, c = x.shape
-        if self.dwconv_impl == "fused":
+        from semisupervisedobjectdetection_tpu.ops.fused_ffn import (
+            fused_ffn,
+            fused_fits,
+        )
+        if self.dwconv_impl == "fused" and fused_fits(h, w, c,
+                                                      self.mlp_hidden):
             # Whole-FFN fused Pallas kernels (ops/fused_ffn.py). Same param
             # pytree as the unfused chain; dropout must be inactive (the
-            # reference's hidden_dropout is 0.0).
+            # reference's hidden_dropout is 0.0). Stages whose working set
+            # exceeds VMEM (fused_fits False, e.g. stage 1 at 512 input)
+            # fall through to the XLA chain below.
             if self.hidden_dropout > 0.0 and not deterministic:
                 raise ValueError("dwconv_impl='fused' requires inactive "
                                  "hidden dropout")
-            from semisupervisedobjectdetection_tpu.ops.fused_ffn import (
-                fused_ffn,
-            )
             m = self.mlp_hidden
             w1, b1 = _FFNParams(((c, m), dense_init), name="dense1")()
             kd, bk = _FFNParams(((3, 3, 1, m),

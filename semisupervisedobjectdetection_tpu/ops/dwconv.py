@@ -68,6 +68,13 @@ def _col_masks(n: int, w: int):
     return col != 0, col != (w - 1)
 
 
+def _colsum(x32):
+    """Column sum as an MXU dot (cross-sublane VPU reductions are slow)."""
+    ones = jnp.ones((1, x32.shape[0]), jnp.float32)
+    return jax.lax.dot_general(ones, x32, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _fwd_kernel(x_ref, k_ref, b_ref, o_ref, xp, *, h: int, w: int):
     """2D formulation: the (H, W) neighborhood becomes flat-token sublane
     shifts of dy*w + dx on an (n + 2w, cb) zero-padded buffer, with border
@@ -131,9 +138,9 @@ def _bwd_kernel(x_ref, g_ref, k_ref, dx_ref, dk_ref, db_ref, pad,
                 t = jnp.where(not_l, t, 0.0)
             elif dx == 1:
                 t = jnp.where(not_r, t, 0.0)
-            taps.append(jnp.sum(t * g32, axis=0))
+            taps.append(_colsum(t * g32)[0])
     dk = jnp.stack(taps).reshape(3, 3, cb)
-    db = jnp.sum(g32, axis=0).reshape(1, cb)
+    db = _colsum(g32)
 
     @pl.when(b == 0)
     def _():

@@ -21,15 +21,11 @@ run on the MXU with f32 accumulation; dW1/dW2/dk/db* accumulate in f32
 VMEM across the (innermost) batch grid axis. Parity vs the XLA chain is
 tested in tests/test_fused_ffn.py.
 
-STATUS: CPU-parity-verified; NOT yet deployable on TPU. The current
-Mosaic lowering rejects the tap reads — a dynamic sublane offset must be
-provably a multiple of 8, and the horizontal +-1 token shift is
-fundamentally misaligned ("cannot statically prove that index in
-dimension 0 is a multiple of 8"); the fully-unrolled static-offset
-variant (git history) compiles in principle but appeared to wedge the
-remote compile service at MiT-B5 width. Re-attempt when Mosaic grows
-unaligned dynamic sublane slices, or restructure the taps as lane-domain
-rolls on an (H, W*C) view.
+STATUS: CPU-parity-verified; taps are statically unrolled (Mosaic
+rejects dynamic sublane offsets that are not provably 8-aligned, and the
+horizontal +-1 token shift cannot be). An early compile of this kernel
+appeared to wedge the remote axon compile service (see CLAUDE.md); the
+service has since been observed failing fast instead.
 
 Reference math: `modeling_segformer.py:283-317` (SegformerMixFFN).
 """
@@ -78,32 +74,42 @@ def _col_masks(n: int, w: int):
     return col != 0, col != (w - 1)
 
 
-def _tap_read(pad_ref, n: int, w: int, dy, dx, not_l, not_r, flip: bool):
-    """Read one shifted tap from the zero-padded flat-token buffer with
-    the border-column mask. `dy`/`dx` may be traced (fori_loop index) —
-    dynamic slices keep the Mosaic program ~9x smaller than unrolling
-    all taps (the unrolled variant wedged the axon compile service)."""
+def _colsum(x32):
+    """Column sum as a (1, n) x (n, m) MXU dot — a cross-sublane
+    jnp.sum(axis=0) lowers to a slow VPU reduction tree (~250us for
+    (1024, 1280) f32); the MXU does it in single-digit us."""
+    ones = jnp.ones((1, x32.shape[0]), jnp.float32)
+    return jax.lax.dot_general(ones, x32, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _tap_read(pad_ref, n: int, w: int, dy: int, dx: int, not_l, not_r,
+              flip: bool):
+    """Read one shifted tap (static offsets — Mosaic requires dynamic
+    sublane offsets to be 8-aligned, which the +-1 horizontal shift can
+    never be) from the zero-padded flat-token buffer, with the border-
+    column mask (mask sides swap for the flipped/backward correlation)."""
     sign = -1 if flip else 1
     o = w + 1 + sign * (dy * w + dx)
-    t = pad_ref[pl.ds(o, n), :].astype(jnp.float32)
+    t = pad_ref[o:o + n, :].astype(jnp.float32)
     lmask, rmask = (dx == 1, dx == -1) if flip else (dx == -1, dx == 1)
-    t = jnp.where(jnp.logical_or(jnp.logical_not(lmask), not_l), t, 0.0)
-    t = jnp.where(jnp.logical_or(jnp.logical_not(rmask), not_r), t, 0.0)
+    if lmask:
+        t = jnp.where(not_l, t, 0.0)
+    if rmask:
+        t = jnp.where(not_r, t, 0.0)
     return t
 
 
 def _dw_fwd(pad_ref, k_ref, n: int, w: int, not_l, not_r):
-    """9-tap depthwise conv from a zero-padded (n + 2w + 2, m) buffer,
-    taps rolled into a fori_loop (see _tap_read)."""
-    m = pad_ref.shape[-1]
-
-    def body(i, acc):
+    """9-tap depthwise conv from a zero-padded (n + 2w + 2, m) buffer
+    (statically unrolled taps — see _tap_read)."""
+    acc = None
+    for i in range(9):
         dy, dx = i // 3 - 1, i % 3 - 1
         t = _tap_read(pad_ref, n, w, dy, dx, not_l, not_r, flip=False)
-        kv = k_ref[pl.ds(dy + 1, 1), pl.ds(dx + 1, 1), :].reshape(1, m)
-        return acc + t * kv.astype(jnp.float32)
-
-    return jax.lax.fori_loop(0, 9, body, jnp.zeros((n, m), jnp.float32))
+        term = t * k_ref[dy + 1, dx + 1, :].astype(jnp.float32)
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def _ffn_fwd_kernel(x_ref, w1_ref, b1_ref, k_ref, bk_ref, w2_ref, b2_ref,
@@ -128,7 +134,6 @@ def _ffn_bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, k_ref, bk_ref, w2_ref,
                     dx_ref, dw1_ref, db1_ref, dk_ref, dbk_ref, dw2_ref,
                     db2_ref, pad, *, h: int, w: int, approx: bool):
     n = x_ref.shape[1]
-    b = pl.program_id(0)
     x = x_ref[0]
     g = g_ref[0]
     not_l, not_r = _col_masks(n, w)
@@ -150,67 +155,74 @@ def _ffn_bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, k_ref, bk_ref, w2_ref,
                              preferred_element_type=jnp.float32)
     dw2 = jax.lax.dot_general(a, g, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    db2 = jnp.sum(g32, axis=0).reshape(1, -1)
+    db2 = _colsum(g32)
 
     # GELU.
     dd = (da * _gelu_grad(d, approx)).astype(x.dtype)
     dd32 = dd.astype(jnp.float32)
-    dbk = jnp.sum(dd32, axis=0).reshape(1, -1)
+    dbk = _colsum(dd32)
 
     # Depthwise conv grads: dk via fwd-mask taps of h1 against dd; dh1 via
     # flipped taps of dd (masks swap sides — see ops/dwconv.py). Both tap
     # groups run as fori_loops (see _tap_read).
     m = pad.shape[-1]
-
-    def dk_body(i, acc):
+    taps = []
+    for i in range(9):
         dy, dx = i // 3 - 1, i % 3 - 1
         t = _tap_read(pad, n, w, dy, dx, not_l, not_r, flip=False)
-        return acc.at[i].set(jnp.sum(t * dd32, axis=0))
-
-    dk = jax.lax.fori_loop(0, 9, dk_body,
-                           jnp.zeros((9, m), jnp.float32)).reshape(3, 3, m)
+        taps.append(_colsum(t * dd32)[0])
+    dk = jnp.stack(taps).reshape(3, 3, m)
 
     pad[:] = jnp.zeros(pad.shape, pad.dtype)
     pad[w + 1:w + 1 + n, :] = dd
 
-    def dh1_body(i, acc):
+    dh1 = None
+    for i in range(9):
         dy, dx = i // 3 - 1, i % 3 - 1
         t = _tap_read(pad, n, w, dy, dx, not_l, not_r, flip=True)
-        kv = k_ref[pl.ds(dy + 1, 1), pl.ds(dx + 1, 1), :].reshape(1, m)
-        return acc + t * kv.astype(jnp.float32)
-
-    dh1 = jax.lax.fori_loop(0, 9, dh1_body,
-                            jnp.zeros((n, m), jnp.float32)).astype(x.dtype)
+        term = t * k_ref[dy + 1, dx + 1, :].astype(jnp.float32)
+        dh1 = term if dh1 is None else dh1 + term
+    dh1 = dh1.astype(x.dtype)
 
     # dense1 grads + input grad.
-    db1 = jnp.sum(dh1.astype(jnp.float32), axis=0).reshape(1, -1)
+    db1 = _colsum(dh1.astype(jnp.float32))
     dw1 = jax.lax.dot_general(x, dh1, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     dx_ref[0] = jax.lax.dot_general(
         dh1, w1_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dx_ref.dtype)
 
-    @pl.when(b == 0)
-    def _():
-        dw1_ref[:] = dw1
-        db1_ref[:] = db1
-        dk_ref[:] = dk
-        dbk_ref[:] = dbk
-        dw2_ref[:] = dw2
-        db2_ref[:] = db2
+    # Per-step partial weight grads (summed over the batch OUTSIDE the
+    # kernel by XLA): revisited accumulator output blocks disable Mosaic's
+    # output pipelining — every grid step serializes on a blocking
+    # read-modify-write of the shared block (~ms/step measured).
+    dw1_ref[0] = dw1
+    db1_ref[0] = db1
+    dk_ref[0] = dk
+    dbk_ref[0] = dbk
+    dw2_ref[0] = dw2
+    db2_ref[0] = db2
 
-    @pl.when(b != 0)
-    def _():
-        dw1_ref[:] = dw1_ref[:] + dw1
-        db1_ref[:] = db1_ref[:] + db1
-        dk_ref[:] = dk_ref[:] + dk
-        dbk_ref[:] = dbk_ref[:] + dbk
-        dw2_ref[:] = dw2_ref[:] + dw2
-        db2_ref[:] = db2_ref[:] + db2
+
+def fused_fits(h: int, w: int, c: int, m: int) -> bool:
+    """VMEM feasibility of the fused kernels for one stage: the backward
+    holds ~6 f32 (n, m) temporaries plus the padded tile and io blocks.
+    Stage 1 of a 512 input (n=16384) exceeds the budget and must use the
+    unfused XLA chain."""
+    n = h * w
+    need = n * m * 4 * 6 + (n + 2 * w + 2) * m * 2 + n * c * 2 * 4
+    return need <= 85 * 1024 * 1024 and (h * w) % 8 == 0
 
 
 def _full(shape):
     return pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _per_b(shape):
+    """Output block indexed by the batch grid step (leading axis 1)."""
+    return pl.BlockSpec((1,) + shape,
+                        lambda b: (b,) + tuple(0 for _ in shape),
                         memory_space=pltpu.VMEM)
 
 
@@ -250,16 +262,17 @@ def _bwd_impl(x, g, w1, b1, k, bk, w2, h, w, approx):
         grid=(bsz,),
         in_specs=[xspec, xspec, _full((c, m)), _full((1, m)),
                   _full((3, 3, m)), _full((1, m)), _full((m, c))],
-        out_specs=(xspec, _full((c, m)), _full((1, m)), _full((3, 3, m)),
-                   _full((1, m)), _full((m, c)), _full((1, c))),
+        out_specs=(xspec, _per_b((c, m)), _per_b((1, m)),
+                   _per_b((3, 3, m)), _per_b((1, m)), _per_b((m, c)),
+                   _per_b((1, c))),
         out_shape=(
             jax.ShapeDtypeStruct((bsz, n, c), x.dtype),
-            jax.ShapeDtypeStruct((c, m), jnp.float32),
-            jax.ShapeDtypeStruct((1, m), jnp.float32),
-            jax.ShapeDtypeStruct((3, 3, m), jnp.float32),
-            jax.ShapeDtypeStruct((1, m), jnp.float32),
-            jax.ShapeDtypeStruct((m, c), jnp.float32),
-            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, c, m), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, m), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 3, 3, m), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, m), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, m, c), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, c), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((n + 2 * w + 2, m), x.dtype)],
         compiler_params=pltpu.CompilerParams(
@@ -270,9 +283,11 @@ def _bwd_impl(x, g, w1, b1, k, bk, w2, h, w, approx):
             transcendentals=bsz * n * m),
         interpret=_interpret(),
     )(x, g, w1, b1.reshape(1, m), k, bk.reshape(1, m), w2)
-    dx, dw1, db1, dk, dbk, dw2, db2 = outs
-    return (dx, dw1, db1.reshape(m), dk, dbk.reshape(m), dw2,
-            db2.reshape(c))
+    dx, dw1p, db1p, dkp, dbkp, dw2p, db2p = outs
+    # Batch-sum the per-step partials (cheap XLA reductions; keeps every
+    # kernel output block per-grid-step so Mosaic pipelines the DMA).
+    return (dx, dw1p.sum(0), db1p.sum(0).reshape(m), dkp.sum(0),
+            dbkp.sum(0).reshape(m), dw2p.sum(0), db2p.sum(0).reshape(c))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
