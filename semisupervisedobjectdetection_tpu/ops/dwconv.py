@@ -100,7 +100,6 @@ def _fwd_kernel(x_ref, k_ref, b_ref, o_ref, xp, *, h: int, w: int):
 def _bwd_kernel(x_ref, g_ref, k_ref, dx_ref, dk_ref, db_ref, pad,
                 *, h: int, w: int):
     n, cb = x_ref.shape[1], x_ref.shape[2]
-    b = pl.program_id(1)
     not_l, not_r = _col_masks(n, w)
 
     # Phase 1 — pad holds the cotangent: dx[p] = sum_t g[p - t] k[t].
@@ -142,15 +141,10 @@ def _bwd_kernel(x_ref, g_ref, k_ref, dx_ref, dk_ref, db_ref, pad,
     dk = jnp.stack(taps).reshape(3, 3, cb)
     db = _colsum(g32)
 
-    @pl.when(b == 0)
-    def _():
-        dk_ref[:] = dk
-        db_ref[:] = db
-
-    @pl.when(b != 0)
-    def _():
-        dk_ref[:] = dk_ref[:] + dk
-        db_ref[:] = db_ref[:] + db
+    # Per-step partials (summed over batch outside): a revisited
+    # accumulator output block serializes Mosaic's DMA pipeline.
+    dk_ref[0] = dk
+    db_ref[0] = db
 
 
 def _fwd_impl(x: Array, kernel: Array, bias: Array, h: int, w: int) -> Array:
@@ -188,8 +182,8 @@ def _bwd_impl(x: Array, kernel: Array, g: Array, h: int, w: int):
         functools.partial(_bwd_kernel, h=h, w=w),
         out_shape=(
             jax.ShapeDtypeStruct((bsz, n, c), x.dtype),
-            jax.ShapeDtypeStruct((3, 3, c), jnp.float32),
-            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 3, 3, c), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, c), jnp.float32),
         ),
         grid=grid,
         in_specs=[
@@ -203,9 +197,9 @@ def _bwd_impl(x: Array, kernel: Array, g: Array, h: int, w: int):
         out_specs=(
             pl.BlockSpec((1, n, cb), lambda i, b: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, cb), lambda i, b: (0, 0, i),
+            pl.BlockSpec((1, 3, 3, cb), lambda i, b: (b, 0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cb), lambda i, b: (0, i),
+            pl.BlockSpec((1, 1, cb), lambda i, b: (b, 0, i),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.VMEM((h * w + 2 * w + 2, cb), x.dtype)],
@@ -217,7 +211,7 @@ def _bwd_impl(x: Array, kernel: Array, g: Array, h: int, w: int):
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )(x, g, kernel)
-    return dx, dk, db.reshape(c)
+    return dx, dk.sum(0), db.sum(0).reshape(c)
 
 
 def _xla_dwconv(x: Array, kernel: Array, bias: Array, h: int, w: int
