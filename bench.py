@@ -5,13 +5,21 @@ Measures images/sec/chip for the flagship workload — one semi-supervised
 teacher/student labeled phase — with MiT-B5 at 512x512 in bf16, the
 driver's north-star metric (BASELINE.json: images/sec/chip at 512x512).
 
-Two benchable algorithm modes (--mode):
-  reference (default) — the exact reference loop: phase-A pseudo-labeling
-    is a forward (the reference's every-4th-epoch teacher update backs
-    through a no_grad prediction: no param grads, no-op step), train-mode
-    forwards per the script's model.train().
-  improved — this framework's recommended mode: real 1-in-4 phase-A
-    teacher self-training (fwd+bwd), deterministic eval-mode pseudo-labels.
+Three benchable algorithm modes (--mode):
+  ema (default) — the flagship mode and the loop the driver's north-star
+    names ("EMA teacher-student semi-supervised loop", BASELINE.json): one
+    fused step = no-grad teacher forward over the unlabeled+labeled
+    batches, pseudo-label thresholding + label denoising (reference
+    semantics, `segFormer_semi_teacherstudent_main.py:24-56,110-118`),
+    student fwd+bwd (identical math to labeled_step's student), per-step
+    EMA teacher <- student. --int8-teacher runs the teacher forward
+    through the int8 serving path on a per-epoch-quantized snapshot.
+  reference — the exact reference loop: phase-A pseudo-labeling is a
+    forward (the reference's every-4th-epoch teacher update backs through
+    a no_grad prediction: no param grads, no-op step), train-mode
+    forwards per the script's model.train(), gradient-teacher phase B.
+  improved — gradient-teacher loop with real 1-in-4 phase-A teacher
+    self-training (fwd+bwd), deterministic eval-mode pseudo-labels.
 
 Baseline for vs_baseline: the reference records 0.86 eval batches/sec for
 the teacher-student checkpoint on its CUDA GPU with Linux batch 20
@@ -46,16 +54,26 @@ def main() -> None:
     parser.add_argument("--serving", action="store_true",
                         help="measure int8 predict throughput instead of "
                         "the train step (serving path, ops/quant.py)")
-    parser.add_argument("--mode", choices=["reference", "improved"],
-                        default="improved",
-                        help="reference: the exact reference algorithm "
+    parser.add_argument("--mode",
+                        choices=["ema", "reference", "improved"],
+                        default="ema",
+                        help="ema (default): fused mean-teacher step (the "
+                        "north-star's named loop — no-grad teacher "
+                        "forwards, student fwd+bwd, per-step EMA). "
+                        "reference: the exact reference algorithm "
                         "(phase-A teacher update is a no-op — its loss is "
                         "built under no_grad, so backward populates no "
                         "grads, `segFormer_semi_teacherstudent_main.py:81-"
                         "90` — and forwards run in train mode per the "
-                        "script's model.train()). improved: this "
-                        "framework's mode (real 1-in-4 phase-A teacher "
-                        "self-training, eval-mode pseudo-labels).")
+                        "script's model.train()). improved: gradient-"
+                        "teacher loop with real 1-in-4 phase-A teacher "
+                        "self-training, eval-mode pseudo-labels.")
+    parser.add_argument("--int8-teacher", action="store_true",
+                        help="ema mode: run teacher forwards through the "
+                        "int8 serving path (per-epoch-quantized snapshot)")
+    parser.add_argument("--unroll", type=int, default=0,
+                        help="scan unroll override (0 = per-mode default)")
+    parser.add_argument("--ema-decay", type=float, default=0.999)
     args = parser.parse_args()
 
     import jax
@@ -91,8 +109,11 @@ def main() -> None:
     else:
         # tanh-approx GELU (~27% faster encoder fwd; exact-erf stays the
         # default for mIoU-parity runs) + scan unroll 2 (XLA fuses across
-        # layer pairs; unroll 4 OOMs the two-model step at batch 16).
-        cfg = mit_b5(dtype="bfloat16", gelu_approx=True, scan_unroll=2)
+        # layer pairs; unroll 4 OOMs the TWO-gradient-model step at batch
+        # 16 — EMA mode has one gradient model and can take unroll 4).
+        unroll = args.unroll or (4 if args.mode == "ema" else 2)
+        cfg = mit_b5(dtype="bfloat16", gelu_approx=True,
+                     scan_unroll=unroll)
         size = args.size or 512
         batch = args.batch or 16   # best measured point (B=32 OOMs)
         iters = args.iters
@@ -156,8 +177,31 @@ def main() -> None:
     update_t = jnp.asarray(True)
     train_mode = args.mode == "reference"
     base_rng = jax.random.PRNGKey(42)
+    unlabeled = jnp.asarray(rng.uniform(0, 1, (batch, size, size, 3)),
+                            jnp.float32)
+
+    if args.mode == "ema":
+        from semisupervisedobjectdetection_tpu.train import ema as ema_mod
+
+        decay = jnp.asarray(args.ema_decay)
+        qvars = qcfg = None
+        if args.int8_teacher:
+            # Quantized once here; in training this refreshes per epoch
+            # (dozens-to-hundreds of steps), so the ~1s quantize cost is
+            # amortized out of the per-step time.
+            qvars, qcfg = ema_mod.make_teacher_int8_snapshot(teacher, cfg)
 
     def one_step(teacher, student, step_idx):
+        if args.mode == "ema":
+            if args.int8_teacher:
+                out = ema_mod.ema_semi_step_int8(
+                    qvars, teacher, student, unlabeled, images, masks,
+                    sup_w, decay, cfg, qcfg)
+            else:
+                out = ema_mod.ema_semi_step(
+                    teacher, student, unlabeled, images, masks, sup_w,
+                    decay, cfg)
+            return out.teacher_state, out.student_state, out
         if args.mode == "reference":
             # Reference semantics: phase A predicts under no_grad, so the
             # every-4th-epoch teacher "self-training" backward populates no
@@ -215,10 +259,17 @@ def main() -> None:
     images_per_step = 2 * batch  # unlabeled + labeled phases
     ips = images_per_step / step_s
 
+    mode_name = {"ema": "EMA teacher-student semi-supervised step",
+                 "reference": "teacher-student semi-supervised step "
+                              "(reference algorithm)",
+                 "improved": "teacher-student semi-supervised step"}[
+                     args.mode]
+    if args.mode == "ema" and args.int8_teacher:
+        mode_name += " (int8 teacher)"
     print(json.dumps({
-        "metric": "teacher-student semi-supervised step, MiT-B5 512x512 "
-                  "bf16" if on_tpu and not args.quick else
-                  "teacher-student semi-supervised step (quick/cpu config)",
+        "metric": f"{mode_name}, MiT-B5 512x512 bf16"
+                  if on_tpu and not args.quick else
+                  f"{mode_name} (quick/cpu config)",
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / REFERENCE_IMAGES_PER_SEC, 3),

@@ -125,6 +125,11 @@ class SegFormerModel:
         return mask
 
     def _init_state(self, keep_params=None, keep_stats=None):
+        # Any structural rebuild (frozen_encoder, add_prompt_token, ...)
+        # invalidates the int8 serving snapshot; drop it so predict cannot
+        # silently serve stale quantized weights (call quantize() again).
+        self._qvars = None
+        self._qcfg = None
         variables = self._init_variables(self.cfg)
         params = variables["params"]
         stats = variables.get("batch_stats", {})

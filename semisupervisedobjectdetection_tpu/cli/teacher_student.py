@@ -61,6 +61,13 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
     train_mode = tc.reference_quirks
     best_s = best_t = float("inf")
 
+    if args.ema_mode:
+        return _ema_train_loop(args, dcfg, tc, loaders, cfg, logger,
+                               teacher=teacher, student=student,
+                               sup_w=sup_w, threshold=threshold,
+                               epochs=epochs, rng=rng, ckpt_s=ckpt_s,
+                               ckpt_t=ckpt_t)
+
     for epoch in range(epochs):
         # -------- Phase A: unlabeled pseudo-labeling (`:80-97`).
         # Reference quirk: its every-4th-epoch teacher "update" is a no-op
@@ -146,6 +153,85 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
     return min(best_s, best_t)
 
 
+def _ema_train_loop(args, dcfg, tc, loaders, cfg, logger, *, teacher,
+                    student, sup_w, threshold, epochs, rng, ckpt_s,
+                    ckpt_t):
+    """The flagship EMA (mean-teacher) loop (train/ema.py): per step, ONE
+    fused (unlabeled, labeled) batch-pair update — no-grad teacher
+    forwards, pseudo thresholding + denoising, student fwd/bwd, per-step
+    EMA. Unlabeled batches cycle when the labeled loader is longer."""
+    import itertools
+
+    from semisupervisedobjectdetection_tpu.train import ema as ema_mod
+
+    decay = jnp.asarray(args.ema)
+    best_s = best_t = float("inf")
+    for epoch in range(epochs):
+        qvars = qcfg = None
+        if args.int8_teacher:
+            # Teacher forwards run int8 on a snapshot refreshed per epoch.
+            qvars, qcfg = ema_mod.make_teacher_int8_snapshot(teacher, cfg)
+        s_losses, p_losses, images_used = [], [], 0
+        pseudo_cycle = itertools.cycle(loaders["pseudo"])
+        for images_u8, masks_u8 in loaders["train"]:
+            u_images_u8, _ = next(pseudo_cycle)
+            rng, r1, r2, r3 = jax.random.split(rng, 4)
+            imgs, masks = common.device_train_batch(r1, images_u8,
+                                                    masks_u8, dcfg)
+            u_imgs, _ = common.device_train_batch(r2, u_images_u8, None,
+                                                  dcfg)
+            if args.int8_teacher:
+                out = ema_mod.ema_semi_step_int8(
+                    qvars, teacher, student, u_imgs, imgs, masks, sup_w,
+                    decay, cfg, qcfg,
+                    denoise_label=not args.no_denoise,
+                    threshold=threshold)
+            else:
+                out = ema_mod.ema_semi_step(
+                    teacher, student, u_imgs, imgs, masks, sup_w, decay,
+                    cfg, denoise_label=not args.no_denoise,
+                    threshold=threshold)
+            teacher, student = out.teacher_state, out.student_state
+            s_losses.append(float(out.student_loss_total))
+            images_used += int(out.n_kept)
+            if np.isfinite(float(out.pseudo_loss)):
+                p_losses.append(float(out.pseudo_loss))
+        teacher = teacher.scheduler_step()
+        student = student.scheduler_step()
+
+        t0 = time.time()
+        ev_s, ev_t, mious = [], [], []
+        for images_u8, masks_u8 in loaders["eval"]:
+            imgs, masks = common.device_eval_batch(images_u8, masks_u8,
+                                                   dcfg)
+            tl, _ = eval_step(teacher, imgs, masks, cfg)
+            sl, pred = eval_step(student, imgs, masks, cfg)
+            ev_t.append(float(tl))
+            ev_s.append(float(sl))
+            mious.append(float(binary_miou(pred, masks)))
+        fps = len(loaders["eval"]) / max(time.time() - t0, 1e-9)
+
+        train_loss = float(np.mean(s_losses)) if s_losses else 0.0
+        eval_s = float(np.mean(ev_s)) if ev_s else 0.0
+        eval_t = float(np.mean(ev_t)) if ev_t else 0.0
+        logger.log(epoch, train_loss=train_loss, eval_loss=eval_s,
+                   teacher_eval=eval_t, images_used=images_used,
+                   pseudo_loss=float(np.mean(p_losses)) if p_losses
+                   else 0.0,
+                   miou=float(np.mean(mious)) if mious else 0.0, fps=fps)
+        print(f"epoch {epoch}: {images_used} unlabeled images used "
+              f"(ema), student eval {eval_s:.4f}")
+        if eval_s < best_s:
+            best_s = eval_s
+            if args.checkpoint_dir:
+                ckpt_s.maybe_save(student, epoch, train_loss, eval_s, fps)
+        if eval_t < best_t:
+            best_t = eval_t
+            if args.checkpoint_dir:
+                ckpt_t.maybe_save(teacher, epoch, train_loss, eval_t, fps)
+    return min(best_s, best_t)
+
+
 def main(argv=None):
     p = common.base_parser(__doc__)
     p.add_argument("--teacher-lr", type=float, default=5e-7)
@@ -158,10 +244,19 @@ def main(argv=None):
                    help="hard copy student->teacher every 5 epochs")
     p.add_argument("--ema", type=float, default=0.0,
                    help=">0 enables EMA teacher updates (build addition)")
+    p.add_argument("--ema-mode", action="store_true",
+                   help="run the fused mean-teacher loop (train/ema.py): "
+                        "per-step EMA with decay --ema, no teacher "
+                        "gradients — the flagship TPU mode")
+    p.add_argument("--int8-teacher", action="store_true",
+                   help="ema-mode teacher forwards through the int8 "
+                        "serving path (snapshot refreshed per epoch)")
     p.add_argument("--tune", action="store_true",
                    help="random-order grid over supervise_weight x "
                         "threshold (reference grid `:274-280`)")
     args = p.parse_args(argv)
+    if args.ema_mode and args.ema <= 0:
+        args.ema = 0.999          # mean-teacher default decay
     dcfg, tc = common.configs_from_args(args)
     dcfg = common.ensure_data(args, dcfg, need_unlabeled=True)
     loaders = common.make_loaders(dcfg, args.seed,

@@ -139,6 +139,27 @@ def intra_domain_loss(cls_tokens: Array) -> Array:
     return 0.5 - 0.5 * jnp.mean(cosine_similarity(first, second, axis=1))
 
 
+def cross_entropy_loss(pred: Array, gt: Array, axis: int = -1) -> Array:
+    """Softmax cross-entropy with probability targets over `axis`.
+
+    Matches torch `F.cross_entropy(y_pred, y_true.float())` as called by the
+    reference dispatcher (`models/Loss.py:88-92`): with float (probability)
+    targets torch computes -sum_c(target_c * log_softmax(pred)_c) per pixel,
+    then means over all remaining dims (`ignore_index` has no effect on
+    probability targets). Single-channel inputs (B, H, W) get a trailing
+    class axis, where log_softmax over one class is identically 0 — the
+    reference has the same degenerate behavior for num_classes=1.
+    """
+    pred = pred.astype(jnp.float32)
+    gt = gt.astype(jnp.float32)
+    if pred.ndim == 3:
+        pred = pred[..., None]
+        gt = gt[..., None]
+        axis = -1
+    logp = jax.nn.log_softmax(pred, axis=axis)
+    return jnp.mean(-jnp.sum(gt * logp, axis=axis))
+
+
 def segmentation_loss(pred: Array, gt: Array, loss_type: str = "dice",
                       sample_weight: Optional[Array] = None) -> Array:
     """Dispatching front-end mirroring reference `SegmentationLoss.forward`
@@ -149,4 +170,9 @@ def segmentation_loss(pred: Array, gt: Array, loss_type: str = "dice",
         return dice_argmax_loss(pred, gt, sample_weight)
     if loss_type == "mse":
         return mse_loss(pred, gt, sample_weight)
+    if loss_type == "cross_entropy":
+        # The reference appends CE into class_score and returns
+        # `1 - mean(class_score)` like the dice branches (`Loss.py:88-95`)
+        # — i.e. it literally returns 1 - CE. Reproduced verbatim.
+        return 1.0 - cross_entropy_loss(pred, gt)
     raise ValueError(f"unknown loss_type: {loss_type}")

@@ -264,8 +264,11 @@ class MixFFN(nn.Module):
             fused_ffn,
             fused_fits,
         )
-        if self.dwconv_impl == "fused" and fused_fits(h, w, c,
-                                                      self.mlp_hidden):
+        # The fused branch reads raw f32/bf16 kernels and would silently
+        # misread an int8 snapshot's (kernel, kernel_scale) params — with
+        # quant active, fall through to the QDense chain below.
+        if (self.dwconv_impl == "fused" and self.quant == "none"
+                and fused_fits(h, w, c, self.mlp_hidden)):
             # Whole-FFN fused Pallas kernels (ops/fused_ffn.py). Same param
             # pytree as the unfused chain; dropout must be inactive (the
             # reference's hidden_dropout is 0.0). Stages whose working set
@@ -406,6 +409,11 @@ def _remat_block(remat_spec: str, stage: int):
         gelu) — selective remat trading HBM for backward recompute.
     """
     specs = remat_spec.split(",")
+    if len(specs) > 1 and stage >= len(specs):
+        raise ValueError(
+            f"MiTConfig.remat per-stage list {remat_spec!r} has "
+            f"{len(specs)} entries but the model has more stages (needs "
+            f"index {stage}); give one policy or one per stage")
     spec = specs[stage] if len(specs) > 1 else specs[0]
     if spec == "none":
         return Block

@@ -64,7 +64,10 @@ class PipelinedSegFormer:
         head_vars = {"params": variables["params"]["decode_head"]}
         stats = variables.get("batch_stats", {})
         if stats:
-            head_vars["batch_stats"] = stats.get("decode_head", stats)
+            # Fail fast on a malformed variables dict rather than passing
+            # the whole model batch_stats tree as the head's stats (which
+            # would only surface later as a confusing flax scope error).
+            head_vars["batch_stats"] = stats["decode_head"]
         self.head_vars = jax.device_put(head_vars, self.head_device)
 
         self._stage_fns = [

@@ -322,8 +322,14 @@ def ema_update(teacher_state: TrainState, student_state: TrainState,
                decay: float = 0.999) -> TrainState:
     """Mean-teacher EMA update — a build-side addition the reference lacks
     (its teacher trains by gradient); offered because the driver's north-star
-    names an 'EMA teacher-student' loop (BASELINE.json)."""
-    new_params = jax.tree.map(
-        lambda t, s: decay * t + (1.0 - decay) * s,
-        teacher_state.params, student_state.params)
-    return teacher_state.replace(params=new_params)
+    names an 'EMA teacher-student' loop (BASELINE.json).
+
+    Both params AND batch_stats are EMA'd (the torch mean-teacher convention
+    EMAs buffers alongside weights); without this the EMA teacher's
+    decode-head BatchNorm statistics would never move."""
+    ema = lambda t, s: decay * t + (1.0 - decay) * s
+    return teacher_state.replace(
+        params=jax.tree.map(ema, teacher_state.params,
+                            student_state.params),
+        batch_stats=jax.tree.map(ema, teacher_state.batch_stats,
+                                 student_state.batch_stats))
