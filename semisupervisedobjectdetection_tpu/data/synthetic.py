@@ -77,9 +77,13 @@ def synthetic_batch(seed: int, batch: int, size: int = 512
 
 def write_synthetic_dataset(data_dir: str, mask_dir: Optional[str],
                             n: int, size: int = 256, seed: int = 0,
-                            unlabeled: bool = False) -> None:
+                            unlabeled: bool = False,
+                            pair: bool = False) -> None:
     """Write tiles in the reference's on-disk layout, including the 23-px
-    watermark strip the decoder crops off."""
+    watermark strip the decoder crops off. `pair=True` also writes the
+    `{id}book.jpg` greyscale scan (75-px watermark) + `{id}book_mask.png`
+    companions of the reference 4-tuple item
+    (`archaeological_georgia_biostyle_dataloader.py:51-69`)."""
     from PIL import Image
 
     os.makedirs(data_dir, exist_ok=True)
@@ -98,3 +102,12 @@ def write_synthetic_dataset(data_dir: str, mask_dir: Optional[str],
             m3 = np.stack([mask] * 3, axis=-1)
             Image.fromarray(m3).save(
                 os.path.join(mask_dir, tile_id + "bing_mask.png"))
+        if pair:
+            bimg, bmask = synthetic_tile(seed * 7919 + i + 5000, size + 75)
+            grey = bimg.mean(axis=-1).astype(np.uint8)
+            Image.fromarray(grey, mode="L").save(
+                os.path.join(data_dir, tile_id + "book.jpg"))
+            if mask_dir:
+                m3 = np.stack([bmask] * 3, axis=-1)
+                Image.fromarray(m3).save(
+                    os.path.join(mask_dir, tile_id + "book_mask.png"))

@@ -52,6 +52,10 @@ def list_tile_ids(data_dir: str) -> Tuple[List[str], bool]:
 def _decode_rgb(path: str, watermark_px: int) -> np.ndarray:
     img = np.asarray(Image.open(path))
     if img.ndim == 2:  # greyscale book scans -> 3 channels (ref `:72-77`)
+        if img.dtype == bool:
+            img = img.astype(np.uint8) * 255     # ref `:75-77` (bool*255)
+        elif img.dtype != np.uint8:
+            img = np.clip(img * 255, 0, 255).astype(np.uint8)  # ref `:80`
         img = np.stack([img] * 3, axis=-1)
     img = img[:-watermark_px, :, 0:3]
     return np.ascontiguousarray(img)
@@ -65,16 +69,23 @@ def _resize_u8(img: np.ndarray, hw: Tuple[int, int],
 
 
 class TileDataset:
-    """Fixed-canvas tile dataset (images uint8 HWC, masks uint8 HW)."""
+    """Fixed-canvas tile dataset (images uint8 HWC, masks uint8 HW).
+
+    `pair=True` reproduces the reference's simultaneous bing+book item: the
+    4-tuple (bing, bing_mask, book, book_mask) per id with `{id}book.jpg` /
+    `{maskdir}/{id}book_mask.png` companions cropped 75 px
+    (`archaeological_georgia_biostyle_dataloader.py:51-112`) — consumed by
+    the feature-matching workflow (`feature_points_matching_main.py`)."""
 
     def __init__(self, data_dir: str, mask_dir: Optional[str] = None,
                  canvas: int = 512, has_mask: bool = True,
-                 book: bool = False):
+                 book: bool = False, pair: bool = False):
         self.data_dir = data_dir
         self.mask_dir = mask_dir
         self.canvas = canvas
         self.has_mask = has_mask and mask_dir is not None
         self.book = book
+        self.pair = pair
         self.ids, self.unlabeled = list_tile_ids(data_dir)
 
     def __len__(self) -> int:
@@ -88,16 +99,39 @@ class TileDataset:
     def mask_path(self, idx: int) -> str:
         return os.path.join(self.mask_dir, f"{self.ids[idx]}bing_mask.png")
 
+    def book_path(self, idx: int) -> str:
+        return os.path.join(self.data_dir, f"{self.ids[idx]}book.jpg")
+
+    def book_mask_path(self, idx: int) -> str:
+        return os.path.join(self.mask_dir, f"{self.ids[idx]}book_mask.png")
+
+    def _load_mask(self, path: str, wm: int) -> np.ndarray:
+        m = np.asarray(Image.open(path))
+        if m.ndim == 3:
+            m = m[:-wm, :, 0]           # channel 0 (ref `:85,96`)
+        else:
+            m = m[:-wm, :]
+        return _resize_u8(m, (self.canvas, self.canvas), nearest=True)
+
     def __getitem__(self, idx: int):
+        if self.pair:
+            bing = _resize_u8(
+                _decode_rgb(self.image_path(idx), BING_WATERMARK_PX),
+                (self.canvas, self.canvas))
+            book = _resize_u8(
+                _decode_rgb(self.book_path(idx), BOOK_WATERMARK_PX),
+                (self.canvas, self.canvas))
+            bing_mask = book_mask = None
+            if self.has_mask:
+                bing_mask = self._load_mask(self.mask_path(idx),
+                                            BING_WATERMARK_PX)
+                book_mask = self._load_mask(self.book_mask_path(idx),
+                                            BOOK_WATERMARK_PX)
+            return bing, bing_mask, book, book_mask
         wm = BOOK_WATERMARK_PX if self.book else BING_WATERMARK_PX
         img = _decode_rgb(self.image_path(idx), wm)
         img = _resize_u8(img, (self.canvas, self.canvas))
         mask = None
         if self.has_mask:
-            m = np.asarray(Image.open(self.mask_path(idx)))
-            if m.ndim == 3:
-                m = m[:-wm, :, 0]       # channel 0 (ref `:85`)
-            else:
-                m = m[:-wm, :]
-            mask = _resize_u8(m, (self.canvas, self.canvas), nearest=True)
+            mask = self._load_mask(self.mask_path(idx), wm)
         return img, mask

@@ -132,12 +132,53 @@ def draw_matches(img1_u8: np.ndarray, img2_u8: np.ndarray,
     return out_path
 
 
+def run_dataset(data_dir: str, out_dir: str, mask_dir=None,
+                canvas: int = 512, vit_params=None, vit_model=None,
+                limit: int = 0) -> list:
+    """Match every bing/book pair of a dataset directory via the paired
+    TileDataset item (the reference workflow iterates the 4-tuple loader,
+    `feature_points_matching_main.py:64-75` over
+    `archaeological_georgia_biostyle_dataloader.py:51-112`)."""
+    import os
+
+    from semisupervisedobjectdetection_tpu.data.tiles import TileDataset
+
+    ds = TileDataset(data_dir, mask_dir, canvas=canvas,
+                     has_mask=mask_dir is not None, pair=True)
+    results = []
+    n = min(len(ds), limit) if limit else len(ds)
+    for i in range(n):
+        bing, _, book, _ = ds[i]
+        pair_dir = os.path.join(out_dir, ds.ids[i])
+        os.makedirs(pair_dir, exist_ok=True)
+        results.append({"id": ds.ids[i],
+                        **match_pair(bing, book, pair_dir,
+                                     vit_params=vit_params,
+                                     vit_model=vit_model)})
+    return results
+
+
 if __name__ == "__main__":
-    import sys
+    import argparse
 
     from PIL import Image
 
-    a = np.asarray(Image.open(sys.argv[1]).convert("RGB"))
-    b = np.asarray(Image.open(sys.argv[2]).convert("RGB"))
-    out = sys.argv[3] if len(sys.argv) > 3 else "figures/matches"
-    print(match_pair(a, b, out))
+    p = argparse.ArgumentParser(
+        description="SIFT/ViT feature matching: two images, or every "
+                    "bing/book pair of a dataset dir (--dataset)")
+    p.add_argument("paths", nargs="*", help="img1 img2 [out_dir]")
+    p.add_argument("--dataset", help="dataset dir with {id}bing.png + "
+                   "{id}book.jpg pairs")
+    p.add_argument("--masks", default=None)
+    p.add_argument("--out", default="figures/matches")
+    p.add_argument("--limit", type=int, default=0)
+    args = p.parse_args()
+    if args.dataset:
+        for r in run_dataset(args.dataset, args.out, args.masks,
+                             limit=args.limit):
+            print(r)
+    else:
+        a = np.asarray(Image.open(args.paths[0]).convert("RGB"))
+        b = np.asarray(Image.open(args.paths[1]).convert("RGB"))
+        out = args.paths[2] if len(args.paths) > 2 else args.out
+        print(match_pair(a, b, out))

@@ -92,3 +92,46 @@ def test_api_quantize_roundtrip():
     m.dequantize()
     back = m.predict(img)
     np.testing.assert_allclose(back, f32_masks, atol=1e-6)
+
+
+def test_int8_eval_metric_delta_bound():
+    """Eval-metric guarantee (VERDICT round-2 weak #4): on a briefly-trained
+    model, |dice_f32 - dice_int8| <= 0.01 on a held-out synthetic batch —
+    pixel agreement alone can hide multi-point dice moves on sparse masks.
+    Reference metric: binarized dice (`models/Loss.py:84-86`)."""
+    from semisupervisedobjectdetection_tpu.core.config import TrainConfig
+    from semisupervisedobjectdetection_tpu.losses import dice_argmax_loss
+    from semisupervisedobjectdetection_tpu.train.state import TrainState
+    from semisupervisedobjectdetection_tpu.train.supervised import train_step
+
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.uniform(size=(4, 64, 64, 3)), jnp.float32)
+    # Structured masks correlated with the images so training polarizes
+    # predictions away from 0.5 (random init predicts ~0.5 everywhere,
+    # where binarization noise would dominate the comparison).
+    masks = jnp.asarray(
+        (imgs.mean(-1) > jnp.median(imgs.mean(-1))), jnp.float32)
+    ev_imgs = jnp.asarray(rng.uniform(size=(4, 64, 64, 3)), jnp.float32)
+    ev_masks = jnp.asarray(
+        (ev_imgs.mean(-1) > jnp.median(ev_imgs.mean(-1))), jnp.float32)
+
+    variables = jax.jit(SegFormer(CFG).init)(jax.random.PRNGKey(0),
+                                             imgs[:1])
+    state = TrainState.create(variables, TrainConfig(lr=3e-3))
+    for step in range(15):
+        state, loss, _ = train_step(state, imgs, masks,
+                                    jax.random.PRNGKey(step), CFG)
+
+    svars = {"params": state.params, "batch_stats": state.batch_stats}
+    logits_f32, _ = jax.jit(SegFormer(CFG).apply)(svars, ev_imgs)
+    dice_f32 = 1.0 - float(dice_argmax_loss(
+        predict_masks(logits_f32, (64, 64)), ev_masks))
+
+    qvars = {"params": quantize_dense_params(state.params),
+             "batch_stats": state.batch_stats}
+    qcfg = CFG.replace(quant="int8")
+    logits_q, _ = jax.jit(SegFormer(qcfg).apply)(qvars, ev_imgs)
+    dice_q = 1.0 - float(dice_argmax_loss(
+        predict_masks(logits_q, (64, 64)), ev_masks))
+
+    assert abs(dice_f32 - dice_q) <= 0.01, (dice_f32, dice_q)
