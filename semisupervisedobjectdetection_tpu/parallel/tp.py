@@ -1,7 +1,9 @@
 """Tensor (model) parallelism for SegFormer via GSPMD sharding rules.
 
-Megatron-style sharding of the MixFFN — the FLOP-dominant block (dense1 +
-dense2 are ~60% of an MiT-B5 layer's FLOPs):
+Megatron-style sharding of the MixFFN — the FLOP-dominant block (measured
+via XLA cost analysis at MiT-B5 stage-3 dims: dense1+dwconv+dense2 are
+62.3% of a layer's FLOPs, attention the rest incl. its SR conv —
+tests/test_tp.py::test_ffn_flop_share_measured):
 
   dense1 kernel (.., C, M): column-parallel — M split over the `tp` axis
   dwconv kernel/bias (per-channel): split over M (depthwise conv is
@@ -10,13 +12,20 @@ dense2 are ~60% of an MiT-B5 layer's FLOPs):
   dense2 kernel (.., M, C): row-parallel — M split; GSPMD inserts ONE
     all-reduce (psum over `tp`) on dense2's output per layer
 
-Attention and the decode head stay replicated over `tp`: SegFormer's head
-counts (1, 2, 5, 8) don't divide a tp axis evenly and attention is a small
-FLOP share — sharding it would trade an awkward head split for little gain.
+Attention is additionally sharded head-parallel where the stage's head
+count divides tp (pass `num_heads_by_stage`): q/k/v kernels column-split
+on the out dim — a contiguous channel block split equals a head-group
+split since the (B, N, C) -> (B, N, H, C/H) reshape is row-major — and the
+out-projection row-split on its in dim, yielding one more all-reduce per
+layer. Stages whose head count does not divide tp (MiT-B5 stages 1/3 have
+1/5 heads) stay replicated, as does the SR-reduction conv (its K/V input
+feeds every head). The decode head stays replicated: its per-stage fuse
+reads row-slices of the shared linear_fuse kernel, which sharding would
+turn into gathers for a small FLOP share.
 
 No hand-written collectives: `tp_shard` only places parameter leaves with
 the right `PartitionSpec`s; the jitted step's GSPMD partitioner derives the
-activation shardings and inserts the all-reduce on ICI. Combine with the
+activation shardings and inserts the all-reduces on ICI. Combine with the
 data axis (mesh ("data", "tp")) for dp x tp.
 
 The reference is single-GPU (SURVEY.md §5) — this is a TPU scaling
@@ -25,17 +34,31 @@ addition. Correctness vs the replicated model: tests/test_tp.py.
 
 from __future__ import annotations
 
+from typing import Optional, Tuple
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _stage_of(path: tuple) -> Optional[int]:
+    for p in path:
+        if p.startswith("block_"):
+            try:
+                return int(p.split("_")[1])
+            except ValueError:
+                return None
+    return None
+
+
 def tp_spec_for(path: tuple, shape: tuple, tp_size: int,
-                axis_name: str = "tp") -> P:
-    """PartitionSpec for one SegFormer param leaf under FFN tensor
-    parallelism. `path` is the tuple of str keys into the params dict."""
-    in_mlp = any(p == "mlp" for p in path)
-    if not in_mlp or not shape:
+                axis_name: str = "tp",
+                num_heads_by_stage: Optional[Tuple[int, ...]] = None) -> P:
+    """PartitionSpec for one SegFormer param leaf under tensor parallelism.
+    `path` is the tuple of str keys into the params dict;
+    `num_heads_by_stage` enables head-parallel attention for stages whose
+    head count divides tp (None = FFN-only, the conservative default)."""
+    if not shape:
         return P()
 
     def axis(i):
@@ -45,27 +68,51 @@ def tp_spec_for(path: tuple, shape: tuple, tp_size: int,
 
     leaf = path[-1]
     module = path[-2] if len(path) >= 2 else ""
-    if module == "dense1":
-        # kernel (.., C, M) / bias (.., M): split the hidden (out) dim.
-        if shape[-1] % tp_size != 0:
+
+    if any(p == "mlp" for p in path):
+        if module == "dense1":
+            # kernel (.., C, M) / bias (.., M): split the hidden (out) dim.
+            if shape[-1] % tp_size != 0:
+                return P()
+            return axis(len(shape) - 1)
+        if module == "dwconv":
+            # kernel (.., 3, 3, 1, M) / bias (.., M): per-channel split.
+            if shape[-1] % tp_size != 0:
+                return P()
+            return axis(len(shape) - 1)
+        if module == "dense2" and leaf == "kernel":
+            # kernel (.., M, C): split the contracting (in) dim.
+            if shape[-2] % tp_size != 0:
+                return P()
+            return axis(len(shape) - 2)
+        # dense2 bias and anything else in the FFN: replicated.
+        return P()
+
+    if num_heads_by_stage is not None and any(
+            p == "attention" for p in path):
+        stage = _stage_of(path)
+        if stage is None or stage >= len(num_heads_by_stage):
             return P()
-        return axis(len(shape) - 1)
-    if module == "dwconv":
-        # kernel (.., 3, 3, 1, M) / bias (.., M): per-channel split.
-        if shape[-1] % tp_size != 0:
-            return P()
-        return axis(len(shape) - 1)
-    if module == "dense2" and leaf == "kernel":
-        # kernel (.., M, C): split the contracting (in) dim.
-        if shape[-2] % tp_size != 0:
-            return P()
-        return axis(len(shape) - 2)
-    # dense2 bias and anything else in the FFN: replicated.
+        if num_heads_by_stage[stage] % tp_size != 0:
+            return P()   # head groups must align with channel blocks
+        if module in ("query", "key", "value"):
+            # kernel (.., C, C) / bias (.., C): head-column split.
+            if shape[-1] % tp_size != 0:
+                return P()
+            return axis(len(shape) - 1)
+        if module == "out" and leaf == "kernel":
+            # kernel (.., C, C): row-split on the contracting dim; GSPMD
+            # all-reduces the out-projection output.
+            if shape[-2] % tp_size != 0:
+                return P()
+            return axis(len(shape) - 2)
     return P()
 
 
-def tp_shard(mesh: Mesh, params, axis_name: str = "tp"):
-    """Place a SegFormer params pytree onto the mesh with FFN tensor
+def tp_shard(mesh: Mesh, params, axis_name: str = "tp",
+             num_heads_by_stage: Optional[Tuple[int, ...]] = None):
+    """Place a SegFormer params pytree onto the mesh with FFN (and, when
+    `num_heads_by_stage` is given, head-parallel attention) tensor
     parallelism over `axis_name` (other mesh axes untouched/replicated)."""
     tp_size = mesh.shape[axis_name]
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
@@ -79,7 +126,7 @@ def tp_shard(mesh: Mesh, params, axis_name: str = "tp"):
     placed = {}
     for kp, leaf in flat:
         spec = tp_spec_for(keys(kp), getattr(leaf, "shape", ()), tp_size,
-                           axis_name)
+                           axis_name, num_heads_by_stage)
         placed[kp] = jax.device_put(leaf, NamedSharding(mesh, spec))
     treedef = jax.tree_util.tree_structure(params)
     return jax.tree_util.tree_unflatten(

@@ -137,3 +137,22 @@ def test_ema_separate_shape_batches():
                                  jnp.asarray(0.8), jnp.asarray(0.99), TINY)
     assert eout.pseudo_mask.shape == (2, 32, 32)
     assert np.isfinite(float(eout.student_loss_total))
+
+
+def test_ema_mode_cli_smoke(tmp_path):
+    """End-to-end --ema-mode loop (incl. per-epoch int8 teacher snapshot
+    refresh and metric logging) on synthetic data."""
+    from semisupervisedobjectdetection_tpu.cli import (
+        teacher_student as cli_ts,
+    )
+
+    cli_ts.main([
+        "--synthetic", "--synthetic-n", "8", "--img-size", "64",
+        "--batch-size", "4", "--epochs", "1", "--dtype", "float32",
+        "--ema-mode", "--int8-teacher",
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--metrics-csv", str(tmp_path / "m.csv"),
+    ])
+    assert (tmp_path / "m.csv").exists()
+    text = (tmp_path / "m.csv").read_text()
+    assert "eval_loss" in text and len(text.splitlines()) >= 2
