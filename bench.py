@@ -78,9 +78,11 @@ def main() -> None:
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from semisupervisedobjectdetection_tpu.utils.cache import (
+        setup_compile_cache,
+    )
+
+    setup_compile_cache("/tmp/jax_tpu_cache")
     import jax.numpy as jnp
 
     from semisupervisedobjectdetection_tpu.core.config import (

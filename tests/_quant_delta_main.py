@@ -1,0 +1,89 @@
+"""Subprocess body of test_quant.py::test_int8_eval_metric_delta_bound.
+
+Runs in a FRESH interpreter: in long-lived full-suite processes the XLA:CPU
+executable serializer segfaulted three times on exactly this workload's
+jits (put/get_executable_and_time; standalone runs always pass) — see the
+round-3 hazard notes in CLAUDE.md. Prints the two dice values and exits 0
+iff |dice_f32 - dice_int8| <= 0.01.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from semisupervisedobjectdetection_tpu.core.config import (  # noqa: E402
+    TrainConfig,
+    mit_b0,
+)
+from semisupervisedobjectdetection_tpu.losses import (  # noqa: E402
+    dice_argmax_loss,
+)
+from semisupervisedobjectdetection_tpu.models.segformer import (  # noqa: E402
+    SegFormer,
+    predict_masks,
+)
+from semisupervisedobjectdetection_tpu.ops.quant import (  # noqa: E402
+    quantize_dense_params,
+)
+from semisupervisedobjectdetection_tpu.train.state import (  # noqa: E402
+    TrainState,
+)
+from semisupervisedobjectdetection_tpu.train.supervised import (  # noqa: E402
+    train_step,
+)
+
+CFG = mit_b0(depths=(1, 1, 2, 1), hidden_sizes=(16, 32, 64, 128),
+             num_heads=(1, 2, 4, 8), decoder_hidden=32)
+
+
+def main() -> int:
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.uniform(size=(4, 64, 64, 3)), jnp.float32)
+    # Structured masks correlated with the images so training polarizes
+    # predictions away from 0.5 (random init predicts ~0.5 everywhere,
+    # where binarization noise would dominate the comparison).
+    masks = jnp.asarray(
+        (imgs.mean(-1) > jnp.median(imgs.mean(-1))), jnp.float32)
+    ev_imgs = jnp.asarray(rng.uniform(size=(4, 64, 64, 3)), jnp.float32)
+    ev_masks = jnp.asarray(
+        (ev_imgs.mean(-1) > jnp.median(ev_imgs.mean(-1))), jnp.float32)
+
+    variables = jax.jit(SegFormer(CFG).init)(jax.random.PRNGKey(0),
+                                             imgs[:1])
+    state = TrainState.create(variables, TrainConfig(lr=3e-3))
+    for step in range(15):
+        state, loss, _ = train_step(state, imgs, masks,
+                                    jax.random.PRNGKey(step), CFG)
+
+    svars = {"params": state.params, "batch_stats": state.batch_stats}
+    logits_f32, _ = jax.jit(SegFormer(CFG).apply)(svars, ev_imgs)
+    dice_f32 = 1.0 - float(dice_argmax_loss(
+        predict_masks(logits_f32, (64, 64)), ev_masks))
+
+    qvars = {"params": quantize_dense_params(state.params),
+             "batch_stats": state.batch_stats}
+    qcfg = CFG.replace(quant="int8")
+    logits_q, _ = jax.jit(SegFormer(qcfg).apply)(qvars, ev_imgs)
+    dice_q = 1.0 - float(dice_argmax_loss(
+        predict_masks(logits_q, (64, 64)), ev_masks))
+
+    print(f"dice_f32={dice_f32:.6f} dice_int8={dice_q:.6f} "
+          f"delta={abs(dice_f32 - dice_q):.6f}")
+    return 0 if abs(dice_f32 - dice_q) <= 0.01 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

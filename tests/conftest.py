@@ -23,7 +23,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
-# Persistent compilation cache: CPU compiles dominate suite runtime.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Persistent compilation cache: CPU compiles dominate suite runtime. The
+# dir is keyed by host CPU fingerprint — XLA:CPU cache entries are AOT
+# machine code and loading a foreign machine's entry SIGSEGVs
+# (utils/cache.py has the full story).
+from semisupervisedobjectdetection_tpu.utils.cache import (  # noqa: E402
+    setup_compile_cache,
+)
+
+setup_compile_cache("/tmp/jax_test_cache", min_compile_secs=0.5)

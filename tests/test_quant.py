@@ -2,6 +2,7 @@
 param-tree conversion, and model-level mask agreement vs the f32 model."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -98,40 +99,20 @@ def test_int8_eval_metric_delta_bound():
     """Eval-metric guarantee (VERDICT round-2 weak #4): on a briefly-trained
     model, |dice_f32 - dice_int8| <= 0.01 on a held-out synthetic batch —
     pixel agreement alone can hide multi-point dice moves on sparse masks.
-    Reference metric: binarized dice (`models/Loss.py:84-86`)."""
-    from semisupervisedobjectdetection_tpu.core.config import TrainConfig
-    from semisupervisedobjectdetection_tpu.losses import dice_argmax_loss
-    from semisupervisedobjectdetection_tpu.train.state import TrainState
-    from semisupervisedobjectdetection_tpu.train.supervised import train_step
+    Reference metric: binarized dice (`models/Loss.py:84-86`).
 
-    rng = np.random.default_rng(5)
-    imgs = jnp.asarray(rng.uniform(size=(4, 64, 64, 3)), jnp.float32)
-    # Structured masks correlated with the images so training polarizes
-    # predictions away from 0.5 (random init predicts ~0.5 everywhere,
-    # where binarization noise would dominate the comparison).
-    masks = jnp.asarray(
-        (imgs.mean(-1) > jnp.median(imgs.mean(-1))), jnp.float32)
-    ev_imgs = jnp.asarray(rng.uniform(size=(4, 64, 64, 3)), jnp.float32)
-    ev_masks = jnp.asarray(
-        (ev_imgs.mean(-1) > jnp.median(ev_imgs.mean(-1))), jnp.float32)
+    Runs in a fresh interpreter (tests/_quant_delta_main.py): inside the
+    long-lived full-suite process the XLA:CPU executable serializer
+    segfaulted repeatedly on exactly this workload's jits while standalone
+    runs always pass (CLAUDE.md round-3 hazard notes)."""
+    import os
+    import subprocess
+    import sys
 
-    variables = jax.jit(SegFormer(CFG).init)(jax.random.PRNGKey(0),
-                                             imgs[:1])
-    state = TrainState.create(variables, TrainConfig(lr=3e-3))
-    for step in range(15):
-        state, loss, _ = train_step(state, imgs, masks,
-                                    jax.random.PRNGKey(step), CFG)
-
-    svars = {"params": state.params, "batch_stats": state.batch_stats}
-    logits_f32, _ = jax.jit(SegFormer(CFG).apply)(svars, ev_imgs)
-    dice_f32 = 1.0 - float(dice_argmax_loss(
-        predict_masks(logits_f32, (64, 64)), ev_masks))
-
-    qvars = {"params": quantize_dense_params(state.params),
-             "batch_stats": state.batch_stats}
-    qcfg = CFG.replace(quant="int8")
-    logits_q, _ = jax.jit(SegFormer(qcfg).apply)(qvars, ev_imgs)
-    dice_q = 1.0 - float(dice_argmax_loss(
-        predict_masks(logits_q, (64, 64)), ev_masks))
-
-    assert abs(dice_f32 - dice_q) <= 0.01, (dice_f32, dice_q)
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "_quant_delta_main.py")
+    env = dict(os.environ)
+    proc = subprocess.run([sys.executable, script], env=env,
+                          capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    assert "delta=" in proc.stdout
