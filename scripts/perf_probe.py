@@ -34,7 +34,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--what", default="train",
                    choices=["fwd", "train", "semi", "dispatch", "dwmicro",
-                            "labeled", "stacked", "semistack"])
+                            "labeled", "stacked", "semistack", "ema"])
     p.add_argument("--remat", default="full")
     p.add_argument("--unroll", type=int, default=2)
     p.add_argument("--batch", type=int, default=16)
@@ -49,9 +49,12 @@ def main() -> None:
     args = p.parse_args()
 
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from semisupervisedobjectdetection_tpu.utils.cache import (
+        setup_compile_cache,
+    )
+
+    setup_compile_cache("/tmp/jax_tpu_cache")
     import jax.numpy as jnp
 
     from semisupervisedobjectdetection_tpu.core.config import (
@@ -161,6 +164,23 @@ def main() -> None:
                                         sup_w, cfg, denoise_label=True)
             return lout.teacher_state, lout.student_state, \
                 lout.student_loss_total
+    elif args.what == "ema":
+        # The flagship fused EMA step (bench.py default mode).
+        from semisupervisedobjectdetection_tpu.train.ema import (
+            ema_semi_step,
+        )
+
+        student = TrainState.create(variables, tc, lr=3e-5)
+        unlabeled = jnp.asarray(
+            np.random.default_rng(1).uniform(
+                0, 1, (args.batch, args.size, args.size, 3)), jnp.float32)
+        decay = jnp.asarray(0.999)
+
+        def step(t, s, i):
+            out = ema_semi_step(t, s, unlabeled, images, masks, sup_w,
+                                decay, cfg)
+            return out.teacher_state, out.student_state, \
+                out.student_loss_total
     else:  # semi: the exact bench composition
         student = TrainState.create(variables, tc, lr=3e-5)
 
