@@ -34,6 +34,7 @@ def main(argv=None):
     loaders = common.make_loaders(dcfg, args.seed,
                                   flags=("train", "eval", "unlabeled"))
     cfg = MIT_VARIANTS[args.variant](num_labels=3, dtype=args.dtype)
+    cfg = common.apply_perf_preset(cfg, args)
     model = SegFormerModel(pretrain_weight=args.pretrain_weight,
                            num_labels=3, train_config=tc, config=cfg)
     logger = MetricLogger(args.metrics_csv)

@@ -70,7 +70,19 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="quirk: run the randomized augmentation chain at "
                         "eval time too, as the reference does "
                         "(config.py:27-38)")
+    p.add_argument("--perf", action="store_true",
+                   help="TPU throughput preset: tanh-approx GELU + scan "
+                        "unroll 4 — the bench.py EMA-mode config (exact-"
+                        "erf GELU and unroll 2 stay the defaults for "
+                        "mIoU-parity runs)")
     return p
+
+
+def apply_perf_preset(cfg, args):
+    """Apply --perf (the benched fast config) to a MiTConfig."""
+    if getattr(args, "perf", False):
+        cfg = cfg.replace(gelu_approx=True, scan_unroll=4)
+    return cfg
 
 
 def configs_from_args(args) -> Tuple[DataConfig, TrainConfig]:

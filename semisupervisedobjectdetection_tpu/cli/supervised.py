@@ -92,6 +92,7 @@ def main(argv=None):
     dcfg = common.ensure_data(args, dcfg)
     loaders = common.make_loaders(dcfg, args.seed)
     cfg = MIT_VARIANTS[args.variant](dtype=args.dtype)
+    cfg = common.apply_perf_preset(cfg, args)
     logger = MetricLogger(args.metrics_csv)
 
     if args.tune_lr:

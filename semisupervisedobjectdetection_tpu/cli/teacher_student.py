@@ -262,6 +262,7 @@ def main(argv=None):
     loaders = common.make_loaders(dcfg, args.seed,
                                   flags=("train", "eval", "pseudo"))
     cfg = MIT_VARIANTS[args.variant](dtype=args.dtype)
+    cfg = common.apply_perf_preset(cfg, args)
     logger = MetricLogger(args.metrics_csv)
 
     if args.tune:
