@@ -149,7 +149,7 @@ def test_ema_mode_cli_smoke(tmp_path):
     cli_ts.main([
         "--synthetic", "--synthetic-n", "8", "--img-size", "64",
         "--batch-size", "4", "--epochs", "1", "--dtype", "float32",
-        "--ema-mode", "--int8-teacher",
+        "--ema-mode", "--int8-teacher", "--perf",
         "--checkpoint-dir", str(tmp_path / "ck"),
         "--metrics-csv", str(tmp_path / "m.csv"),
     ])
