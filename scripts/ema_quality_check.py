@@ -32,13 +32,13 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--ema", type=float, default=0.95)
-    p.add_argument("--cpu", action="store_true", default=True)
     args = p.parse_args()
 
     import jax
 
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+    # Always CPU: this is a tiny-model quality comparison, and the single
+    # tunneled TPU must stay free for benchmark processes.
+    jax.config.update("jax_platforms", "cpu")
     from semisupervisedobjectdetection_tpu.utils.cache import (
         setup_compile_cache,
     )

@@ -85,6 +85,15 @@ def apply_perf_preset(cfg, args):
     return cfg
 
 
+def warn_perf_unsupported(args, cli_name: str) -> None:
+    """CLIs whose models aren't MiTConfig-based accept --perf from the
+    shared parser but cannot honor it — say so instead of silently
+    ignoring the flag."""
+    if getattr(args, "perf", False):
+        print(f"warning: --perf has no effect for {cli_name} "
+              "(MiT SegFormer preset only)")
+
+
 def configs_from_args(args) -> Tuple[DataConfig, TrainConfig]:
     # Multi-host bootstrap first: jax.distributed must initialize before
     # anything touches the XLA backend. No-op single-process (the default).

@@ -117,6 +117,7 @@ def main(argv=None):
     num_labels = 3 if args.mode == "ae" else 1
     cfg = MIT_VARIANTS[args.variant](
         num_labels=num_labels, cls_tokens=(1, 1, 1, 1), dtype=args.dtype)
+    cfg = common.apply_perf_preset(cfg, args)
     model = SegFormer(cfg)
     import jax.numpy as jnp
 

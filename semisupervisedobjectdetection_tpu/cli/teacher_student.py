@@ -159,11 +159,14 @@ def _ema_train_loop(args, dcfg, tc, loaders, cfg, logger, *, teacher,
     """The flagship EMA (mean-teacher) loop (train/ema.py): per step, ONE
     fused (unlabeled, labeled) batch-pair update — no-grad teacher
     forwards, pseudo thresholding + denoising, student fwd/bwd, per-step
-    EMA. Unlabeled batches cycle when the labeled loader is longer."""
-    import itertools
-
+    EMA. Unlabeled batches restart from the loader when the labeled loader
+    is longer (re-iterated, NOT itertools.cycle — cycle() would pin every
+    decoded uint8 batch in host RAM for the whole epoch)."""
     from semisupervisedobjectdetection_tpu.train import ema as ema_mod
 
+    # Reference-quirks parity applies in EMA mode too: the reference semi
+    # script runs its forwards in TRAIN mode (`model.train()`, `:77-78`).
+    train_mode = tc.reference_quirks
     decay = jnp.asarray(args.ema)
     best_s = best_t = float("inf")
     for epoch in range(epochs):
@@ -172,25 +175,38 @@ def _ema_train_loop(args, dcfg, tc, loaders, cfg, logger, *, teacher,
             # Teacher forwards run int8 on a snapshot refreshed per epoch.
             qvars, qcfg = ema_mod.make_teacher_int8_snapshot(teacher, cfg)
         s_losses, p_losses, images_used = [], [], 0
-        pseudo_cycle = itertools.cycle(loaders["pseudo"])
+        pseudo_iter = iter(loaders["pseudo"])
         for images_u8, masks_u8 in loaders["train"]:
-            u_images_u8, _ = next(pseudo_cycle)
+            try:
+                u_images_u8, _ = next(pseudo_iter)
+            except StopIteration:
+                pseudo_iter = iter(loaders["pseudo"])
+                u_images_u8 = next(pseudo_iter, (None, None))[0]
             rng, r1, r2, r3 = jax.random.split(rng, 4)
             imgs, masks = common.device_train_batch(r1, images_u8,
                                                     masks_u8, dcfg)
-            u_imgs, _ = common.device_train_batch(r2, u_images_u8, None,
-                                                  dcfg)
+            if u_images_u8 is not None:
+                u_imgs, _ = common.device_train_batch(r2, u_images_u8,
+                                                      None, dcfg)
+            else:
+                # Empty unlabeled loader: degrade gracefully like the
+                # gradient-teacher loop's skipped phase A — the labeled
+                # images stand in as the "unlabeled" batch (their pseudo
+                # stats are metrics only; the student update is unchanged).
+                u_imgs = imgs
             if args.int8_teacher:
                 out = ema_mod.ema_semi_step_int8(
                     qvars, teacher, student, u_imgs, imgs, masks, sup_w,
                     decay, cfg, qcfg,
                     denoise_label=not args.no_denoise,
-                    threshold=threshold)
+                    threshold=threshold, train_mode=train_mode,
+                    rng=r3 if train_mode else None)
             else:
                 out = ema_mod.ema_semi_step(
                     teacher, student, u_imgs, imgs, masks, sup_w, decay,
                     cfg, denoise_label=not args.no_denoise,
-                    threshold=threshold)
+                    threshold=threshold, train_mode=train_mode,
+                    rng=r3 if train_mode else None)
             teacher, student = out.teacher_state, out.student_state
             s_losses.append(float(out.student_loss_total))
             images_used += int(out.n_kept)

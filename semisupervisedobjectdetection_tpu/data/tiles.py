@@ -54,8 +54,15 @@ def _decode_rgb(path: str, watermark_px: int) -> np.ndarray:
     if img.ndim == 2:  # greyscale book scans -> 3 channels (ref `:72-77`)
         if img.dtype == bool:
             img = img.astype(np.uint8) * 255     # ref `:75-77` (bool*255)
+        elif np.issubdtype(img.dtype, np.integer):
+            # 16-bit scans: rescale by the dtype max (a raw *255 would
+            # wrap modulo 65536 before any clip could catch it).
+            img = (img.astype(np.float64) / np.iinfo(img.dtype).max
+                   * 255.0).astype(np.uint8)
         elif img.dtype != np.uint8:
-            img = np.clip(img * 255, 0, 255).astype(np.uint8)  # ref `:80`
+            # float images: *255 as the reference does (`:80`)
+            img = np.clip(img.astype(np.float64) * 255.0,
+                          0, 255).astype(np.uint8)
         img = np.stack([img] * 3, axis=-1)
     img = img[:-watermark_px, :, 0:3]
     return np.ascontiguousarray(img)

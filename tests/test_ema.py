@@ -156,3 +156,30 @@ def test_ema_mode_cli_smoke(tmp_path):
     assert (tmp_path / "m.csv").exists()
     text = (tmp_path / "m.csv").read_text()
     assert "eval_loss" in text and len(text.splitlines()) >= 2
+
+
+def test_ema_mode_cli_empty_pseudo_loader(tmp_path, monkeypatch):
+    """--ema-mode degrades gracefully when the unlabeled loader yields no
+    batches (the gradient-teacher loop just skips phase A; the EMA loop
+    substitutes the labeled batch as the teacher-forward input)."""
+    from semisupervisedobjectdetection_tpu.cli import common as cli_common
+    from semisupervisedobjectdetection_tpu.cli import (
+        teacher_student as cli_ts,
+    )
+
+    real_make_loaders = cli_common.make_loaders
+
+    def patched(dcfg, seed, flags=()):
+        loaders = real_make_loaders(dcfg, seed, flags=flags)
+        loaders["pseudo"] = []
+        return loaders
+
+    monkeypatch.setattr(cli_common, "make_loaders", patched)
+    cli_ts.main([
+        "--synthetic", "--synthetic-n", "8", "--img-size", "64",
+        "--batch-size", "4", "--epochs", "1", "--dtype", "float32",
+        "--ema-mode",
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--metrics-csv", str(tmp_path / "m.csv"),
+    ])
+    assert (tmp_path / "m.csv").exists()

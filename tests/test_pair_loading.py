@@ -54,3 +54,21 @@ def test_feature_matching_dataset_entry(pair_root, tmp_path):
     for r in results:
         assert "sift_matches" in r and "id" in r
         assert (tmp_path / "out").exists()
+
+
+def test_decode_16bit_greyscale_rescales(tmp_path):
+    """16-bit greyscale scans rescale by dtype max — a raw *255 would wrap
+    modulo 65536 before clipping."""
+    from PIL import Image
+
+    from semisupervisedobjectdetection_tpu.data.tiles import _decode_rgb
+
+    arr = np.zeros((100, 80), np.uint16)
+    arr[:50] = 65535          # full white
+    arr[50:] = 32768          # mid grey
+    path = tmp_path / "scan.png"
+    Image.fromarray(arr).save(path)
+    out = _decode_rgb(str(path), watermark_px=23)
+    assert out.dtype == np.uint8 and out.shape == (77, 80, 3)
+    assert out[0, 0, 0] == 255
+    assert 120 <= out[60, 0, 0] <= 132
