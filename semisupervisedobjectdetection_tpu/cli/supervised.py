@@ -85,12 +85,24 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="with --predict: serve through the int8 snapshot "
                    "(SegFormerModel.quantize — ~2x MXU rate on v5e)")
+    p.add_argument("--sliding-raster",
+                   help="with --predict: path to one large RGB raster; "
+                   "predicts via Hann-blended sliding windows "
+                   "(eval/sliding_window.py) and writes "
+                   "<dump-masks>/raster_mask.png")
+    p.add_argument("--window", type=int, default=512,
+                   help="sliding-raster window size")
+    p.add_argument("--overlap", type=int, default=64,
+                   help="sliding-raster window overlap")
     p.add_argument("--tune-lr",
                    help="comma-separated lrs for grid search on 80/20 split")
     args = p.parse_args(argv)
     dcfg, tc = common.configs_from_args(args)
-    dcfg = common.ensure_data(args, dcfg)
-    loaders = common.make_loaders(dcfg, args.seed)
+    if args.predict and args.sliding_raster:
+        loaders = None          # raster serving needs no tile dataset
+    else:
+        dcfg = common.ensure_data(args, dcfg)
+        loaders = common.make_loaders(dcfg, args.seed)
     cfg = MIT_VARIANTS[args.variant](dtype=args.dtype)
     cfg = common.apply_perf_preset(cfg, args)
     logger = MetricLogger(args.metrics_csv)
@@ -127,6 +139,28 @@ def main(argv=None):
     if args.predict:
         if args.int8:
             model.quantize()
+        if args.sliding_raster:
+            import os
+
+            from PIL import Image
+
+            from semisupervisedobjectdetection_tpu.eval.sliding_window \
+                import sliding_window_predict
+
+            img = np.asarray(Image.open(args.sliding_raster).convert(
+                "RGB"), np.float32) / 255.0
+            mask = sliding_window_predict(
+                lambda tiles: model.predict(np.asarray(tiles)),
+                img, window=args.window, overlap=args.overlap)
+            out = args.dump_masks or "figures"
+            os.makedirs(out, exist_ok=True)
+            path = os.path.join(out, "raster_mask.png")
+            Image.fromarray((mask * 255).astype(np.uint8)).save(path)
+            print(f"raster mask written: {path} "
+                  f"({img.shape[0]}x{img.shape[1]}, window {args.window}, "
+                  f"overlap {args.overlap}"
+                  + (", int8" if args.int8 else "") + ")")
+            return
         losses = []
         dumped = 0
         for bi, (images_u8, masks_u8) in enumerate(loaders["eval"]):
