@@ -41,24 +41,35 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     best = float("inf")
 
+    from semisupervisedobjectdetection_tpu.data.prefetch import (
+        prefetch_train_batches,
+    )
+
     for epoch in range(tc.epochs):
         train_losses = []
-        # labeled tiles then unlabeled tiles (ref `:49-68`)
+        # labeled tiles then unlabeled tiles (ref `:49-68`); batches staged
+        # by a background thread, metrics synced once per epoch
+        # (per-step float() costs a tunnel round trip — common.host_floats).
         for flag in ("train", "unlabeled"):
-            for images_u8, _ in loaders[flag]:
-                rng, aug_rng = jax.random.split(rng)
-                imgs, _ = common.device_train_batch(aug_rng, images_u8,
-                                                    None, dcfg)
-                loss, _ = model.train_one_epoch_without_mask(imgs)
-                train_losses.append(float(loss))
+            rng, epoch_rng = jax.random.split(rng)
+            # masks stripped: the AE reconstructs images (ref `:49-68`)
+            imgs_only = ((im, None) for im, _ in loaders[flag])
+            for imgs, _ in prefetch_train_batches(
+                    imgs_only, epoch_rng, dcfg,
+                    depth=getattr(args, "prefetch", 2)):
+                loss, _ = model.train_one_epoch_without_mask(imgs,
+                                                             lazy=True)
+                train_losses.append(loss)
         model.scheduler_step()
+        train_losses = common.host_floats(train_losses)
 
         t0 = time.time()
         eval_losses = []
         for images_u8, _ in loaders["eval"]:
             imgs, _ = common.device_eval_batch(images_u8, None, dcfg)
-            loss, _ = model.eval_one_epoch_without_mask(imgs)
-            eval_losses.append(float(loss))
+            loss, _ = model.eval_one_epoch_without_mask(imgs, lazy=True)
+            eval_losses.append(loss)
+        eval_losses = common.host_floats(eval_losses)
         # NOTE: reference logs sec/batch here, not batches/sec (`:102`)
         spb = (time.time() - t0) / max(len(loaders["eval"]), 1)
 

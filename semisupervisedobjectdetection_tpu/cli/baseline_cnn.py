@@ -75,17 +75,25 @@ def main(argv=None):
         ckpt = BestCheckpointer(args.checkpoint_dir, prefix=arch)
         rng = jax.random.PRNGKey(args.seed)
         best = float("inf")
+        from semisupervisedobjectdetection_tpu.data.prefetch import (
+            prefetch_train_batches,
+        )
+
         for epoch in range(tc.epochs):
             tl = []
-            for images_u8, masks_u8 in loaders["train"]:
-                rng, aug_rng, d_rng = jax.random.split(rng, 3)
-                imgs, masks = common.device_train_batch(aug_rng, images_u8,
-                                                        masks_u8, dcfg)
+            # background-staged batches + one metric sync per epoch
+            # (per-step float() costs a tunnel round trip — host_floats)
+            rng, aug_rng_e, step_rng_e = jax.random.split(rng, 3)
+            for bi, (imgs, masks) in enumerate(prefetch_train_batches(
+                    loaders["train"], aug_rng_e, dcfg,
+                    depth=getattr(args, "prefetch", 2))):
+                d_rng = jax.random.fold_in(step_rng_e, bi)
                 state, loss, _ = cnn_train_step(
                     state, imgs, masks, d_rng, arch, dtype=args.dtype,
                     **enc_kw)
-                tl.append(float(loss))
+                tl.append(loss)
             state = state.scheduler_step()
+            tl = common.host_floats(tl)
             t0 = time.time()
             ev = []
             for images_u8, masks_u8 in loaders["eval"]:
@@ -93,7 +101,8 @@ def main(argv=None):
                                                        dcfg)
                 loss, _ = cnn_eval_step(state, imgs, masks, arch,
                                         dtype=args.dtype, **enc_kw)
-                ev.append(float(loss))
+                ev.append(loss)
+            ev = common.host_floats(ev)
             fps = len(loaders["eval"]) / max(time.time() - t0, 1e-9)
             train_loss = float(np.mean(tl)) if tl else 0.0
             eval_loss = float(np.mean(ev)) if ev else 0.0

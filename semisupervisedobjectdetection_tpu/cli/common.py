@@ -75,6 +75,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "unroll 4 — the bench.py EMA-mode config (exact-"
                         "erf GELU and unroll 2 stay the defaults for "
                         "mIoU-parity runs)")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="train-batch device prefetch depth (background "
+                        "thread stages decode + H2D + augment ahead of "
+                        "the running step, data/prefetch.py); 0 disables")
     return p
 
 
@@ -191,6 +195,20 @@ def _make_loader(ds, bs, dcfg, seed):
     return TileLoader(
         ds, bs, shuffle=dcfg.shuffle, drop_last=dcfg.drop_last, seed=seed,
         num_shards=jax.process_count(), shard_index=jax.process_index())
+
+
+def host_floats(xs) -> list:
+    """One stacked device->host transfer for a list of scalars.
+
+    The axon TPU tunnel costs ~32ms per device->host round trip, so a
+    train/eval loop calling `float(loss)` per step idles the chip for a
+    round trip every step. Hot loops instead accumulate device scalars
+    and sync once per epoch through this helper (also correct on plain
+    numpy floats, so loops work unchanged on CPU)."""
+    if not xs:
+        return []
+    return [float(v) for v in np.asarray(jnp.stack(
+        [jnp.asarray(x) for x in xs]))]
 
 
 def device_train_batch(rng, images_u8, masks_u8, dcfg: DataConfig):

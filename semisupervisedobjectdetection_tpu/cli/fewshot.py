@@ -171,7 +171,7 @@ def main(argv=None):
                 g22, _ = common.device_train_batch(r4, b2, None, dcfg)
                 out = fw.fewshot_ae_step(state, g11, g12, g21, g22, cfg)
                 state = out.state
-                ep_losses.append(float(out.loss))
+                ep_losses.append(out.loss)
             else:
                 (a1, m1), (a2, m2) = draw_pair(rr_lab, len(lab))
                 i1, mm1 = common.device_train_batch(r1, a1, m1, dcfg)
@@ -179,8 +179,10 @@ def main(argv=None):
                 out = fw.fewshot_seg_step(state, i1, mm1, i2, mm2, cfg,
                                           args.cls_loss_weight)
                 state = out.state
-                ep_losses.append(float(out.loss))
+                ep_losses.append(out.loss)
         state = state.scheduler_step()
+        # one device->host sync per epoch (tunnel round trips are ~32ms)
+        ep_losses = common.host_floats(ep_losses)
 
         t0 = time.time()
         ev = []
@@ -193,7 +195,8 @@ def main(argv=None):
                 v = {"params": state.params,
                      "batch_stats": state.batch_stats}
                 loss = _eval_ae_recon(cfg, v, imgs)
-            ev.append(float(loss))
+            ev.append(loss)
+        ev = common.host_floats(ev)
         fps = len(eval_loaders["eval"]) / max(time.time() - t0, 1e-9)
         logger.log(epoch, train_loss=float(np.mean(ep_losses)),
                    eval_loss=float(np.mean(ev)) if ev else 0.0, fps=fps)

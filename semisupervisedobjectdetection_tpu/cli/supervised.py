@@ -35,29 +35,42 @@ from semisupervisedobjectdetection_tpu.utils.logging import (
 def train_loop(model: SegFormerModel, loaders, dcfg, tc, args,
                logger: MetricLogger, loss_type: str = "dice"):
     """Epoch loop mirroring `Train` (`segFormer_main.py:35-100`)."""
+    from semisupervisedobjectdetection_tpu.data.prefetch import (
+        prefetch_train_batches,
+    )
+
     ckpt = BestCheckpointer(args.checkpoint_dir, prefix="segformer")
     rng = jax.random.PRNGKey(args.seed)
+    depth = getattr(args, "prefetch", 2)
     best = float("inf")
     for epoch in range(tc.epochs):
         train_losses = []
-        for images_u8, masks_u8 in loaders["train"]:
-            rng, aug_rng = jax.random.split(rng)
-            imgs, masks = common.device_train_batch(aug_rng, images_u8,
-                                                    masks_u8, dcfg)
+        rng, epoch_rng = jax.random.split(rng)
+        # Batches are decoded + staged to device on a background thread
+        # (data/prefetch.py) so the step dispatch never waits on host IO.
+        # Metrics stay on device (lazy=True) and sync ONCE per epoch —
+        # per-step float() would idle the chip for a tunnel round trip
+        # (~32ms) every step (see common.host_floats).
+        for imgs, masks in prefetch_train_batches(loaders["train"],
+                                                  epoch_rng, dcfg,
+                                                  depth=depth):
             loss, _ = model.train_one_epoch(imgs, masks,
-                                            use_loss=loss_type)
-            train_losses.append(float(loss))
+                                            use_loss=loss_type, lazy=True)
+            train_losses.append(loss)
         model.scheduler_step()
+        train_losses = common.host_floats(train_losses)
 
         t0 = time.time()
         eval_losses, dices, mious = [], [], []
         for images_u8, masks_u8 in loaders["eval"]:
             imgs, masks = common.device_eval_batch(images_u8, masks_u8,
                                                    dcfg)
-            loss, pred = model.eval_one_epoch(imgs, masks)
-            eval_losses.append(float(loss))
-            dices.append(float(dice_score(pred, masks)))
-            mious.append(float(binary_miou(pred, masks)))
+            loss, pred = model.eval_one_epoch(imgs, masks, lazy=True)
+            eval_losses.append(loss)
+            dices.append(dice_score(pred, masks))
+            mious.append(binary_miou(pred, masks))
+        eval_losses = common.host_floats(eval_losses)
+        dices, mious = common.host_floats(dices), common.host_floats(mious)
         fps = len(loaders["eval"]) / max(time.time() - t0, 1e-9)
 
         train_loss = float(np.mean(train_losses)) if train_losses else 0.0
@@ -85,6 +98,10 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="with --predict: serve through the int8 snapshot "
                    "(SegFormerModel.quantize — ~2x MXU rate on v5e)")
+    p.add_argument("--int8-snapshot",
+                   help="with --int8: persisted snapshot dir — loaded if "
+                   "it exists, else written after quantize() "
+                   "(SegFormerModel.save_quantized/load_quantized)")
     p.add_argument("--sliding-raster",
                    help="with --predict: path to one large RGB raster; "
                    "predicts via Hann-blended sliding windows "
@@ -138,7 +155,16 @@ def main(argv=None):
                            hf_weights=args.hf_weights)
     if args.predict:
         if args.int8:
-            model.quantize()
+            import os as _os
+
+            if args.int8_snapshot and _os.path.exists(args.int8_snapshot):
+                model.load_quantized(args.int8_snapshot)
+                print(f"int8 snapshot loaded: {args.int8_snapshot}")
+            else:
+                model.quantize()
+                if args.int8_snapshot:
+                    model.save_quantized(args.int8_snapshot)
+                    print(f"int8 snapshot written: {args.int8_snapshot}")
         if args.sliding_raster:
             import os
 

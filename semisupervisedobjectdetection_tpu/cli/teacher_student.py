@@ -68,18 +68,25 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
                                epochs=epochs, rng=rng, ckpt_s=ckpt_s,
                                ckpt_t=ckpt_t)
 
+    from semisupervisedobjectdetection_tpu.data.prefetch import (
+        prefetch_train_batches,
+    )
+
+    depth = getattr(args, "prefetch", 2)
     for epoch in range(epochs):
         # -------- Phase A: unlabeled pseudo-labeling (`:80-97`).
         # Reference quirk: its every-4th-epoch teacher "update" is a no-op
         # (loss built under `no_grad`, `:81-90`), so quirks mode never
         # gradient-updates here; improved mode self-trains every 4th epoch.
-        images_used = 0
-        pseudo_losses = []
+        # Batches are staged by a background thread (data/prefetch.py) and
+        # metrics stay on device until one per-epoch sync (host_floats) —
+        # per-step float() would idle the chip a tunnel round trip each.
+        kept, pseudo_losses = [], []
         update_epoch = (epoch % 4 == 0) and not tc.reference_quirks
-        for images_u8, _ in loaders["pseudo"]:
-            rng, aug_rng, step_rng = jax.random.split(rng, 3)
-            imgs, _ = common.device_train_batch(aug_rng, images_u8, None,
-                                                dcfg)
+        rng, aug_rng_a, step_rng_a = jax.random.split(rng, 3)
+        for bi, (imgs, _) in enumerate(prefetch_train_batches(
+                loaders["pseudo"], aug_rng_a, dcfg, depth=depth)):
+            step_rng = jax.random.fold_in(step_rng_a, bi)
             if update_epoch:
                 out = ts.pseudo_label_step(teacher, imgs,
                                            jnp.asarray(True), cfg,
@@ -91,28 +98,32 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
                     teacher, imgs, cfg, threshold=threshold,
                     train_mode=train_mode, rng=step_rng)
             teacher = out.teacher_state
-            images_used += int(out.n_kept)
-            if np.isfinite(float(out.loss)):
-                pseudo_losses.append(float(out.loss))
+            kept.append(out.n_kept)
+            pseudo_losses.append(out.loss)
+        images_used = int(sum(common.host_floats(kept)))
+        pseudo_losses = [x for x in common.host_floats(pseudo_losses)
+                         if np.isfinite(x)]
         print(f"epoch {epoch}: {images_used} unlabeled images used")
 
         # -------- Phase B: labeled set trains both models (`:99-129`)
         s_losses, t_losses = [], []
-        for images_u8, masks_u8 in loaders["train"]:
-            rng, aug_rng, step_rng = jax.random.split(rng, 3)
-            imgs, masks = common.device_train_batch(aug_rng, images_u8,
-                                                    masks_u8, dcfg)
+        rng, aug_rng_b, step_rng_b = jax.random.split(rng, 3)
+        for bi, (imgs, masks) in enumerate(prefetch_train_batches(
+                loaders["train"], aug_rng_b, dcfg, depth=depth)):
+            step_rng = jax.random.fold_in(step_rng_b, bi)
             lout = ts.labeled_step(teacher, student, imgs, masks, sup_w,
                                    cfg, denoise_label=not args.no_denoise,
                                    threshold=threshold,
                                    train_mode=train_mode, rng=step_rng)
             teacher, student = lout.teacher_state, lout.student_state
-            s_losses.append(float(lout.student_loss_total))
-            t_losses.append(float(lout.teacher_loss))
+            s_losses.append(lout.student_loss_total)
+            t_losses.append(lout.teacher_loss)
         teacher = teacher.scheduler_step()
         student = student.scheduler_step()
         if args.ema > 0:
             teacher = ts.ema_update(teacher, student, args.ema)
+        s_losses = common.host_floats(s_losses)
+        t_losses = common.host_floats(t_losses)
 
         # -------- eval both models (`:147-172`)
         t0 = time.time()
@@ -122,9 +133,11 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
                                                    dcfg)
             tl, _ = eval_step(teacher, imgs, masks, cfg)
             sl, pred = eval_step(student, imgs, masks, cfg)
-            ev_t.append(float(tl))
-            ev_s.append(float(sl))
-            mious.append(float(binary_miou(pred, masks)))
+            ev_t.append(tl)
+            ev_s.append(sl)
+            mious.append(binary_miou(pred, masks))
+        ev_t, ev_s = common.host_floats(ev_t), common.host_floats(ev_s)
+        mious = common.host_floats(mious)
         fps = len(loaders["eval"]) / max(time.time() - t0, 1e-9)
 
         train_loss = float(np.mean(s_losses)) if s_losses else 0.0
@@ -162,38 +175,32 @@ def _ema_train_loop(args, dcfg, tc, loaders, cfg, logger, *, teacher,
     EMA. Unlabeled batches restart from the loader when the labeled loader
     is longer (re-iterated, NOT itertools.cycle — cycle() would pin every
     decoded uint8 batch in host RAM for the whole epoch)."""
+    from semisupervisedobjectdetection_tpu.data.prefetch import (
+        prefetch_paired_batches,
+    )
     from semisupervisedobjectdetection_tpu.train import ema as ema_mod
 
     # Reference-quirks parity applies in EMA mode too: the reference semi
     # script runs its forwards in TRAIN mode (`model.train()`, `:77-78`).
     train_mode = tc.reference_quirks
     decay = jnp.asarray(args.ema)
+    depth = getattr(args, "prefetch", 2)
     best_s = best_t = float("inf")
     for epoch in range(epochs):
         qvars = qcfg = None
         if args.int8_teacher:
             # Teacher forwards run int8 on a snapshot refreshed per epoch.
             qvars, qcfg = ema_mod.make_teacher_int8_snapshot(teacher, cfg)
-        s_losses, p_losses, images_used = [], [], 0
-        pseudo_iter = iter(loaders["pseudo"])
-        for images_u8, masks_u8 in loaders["train"]:
-            try:
-                u_images_u8, _ = next(pseudo_iter)
-            except StopIteration:
-                pseudo_iter = iter(loaders["pseudo"])
-                u_images_u8 = next(pseudo_iter, (None, None))[0]
-            rng, r1, r2, r3 = jax.random.split(rng, 4)
-            imgs, masks = common.device_train_batch(r1, images_u8,
-                                                    masks_u8, dcfg)
-            if u_images_u8 is not None:
-                u_imgs, _ = common.device_train_batch(r2, u_images_u8,
-                                                      None, dcfg)
-            else:
-                # Empty unlabeled loader: degrade gracefully like the
-                # gradient-teacher loop's skipped phase A — the labeled
-                # images stand in as the "unlabeled" batch (their pseudo
-                # stats are metrics only; the student update is unchanged).
-                u_imgs = imgs
+        s_losses, p_losses, kept = [], [], []
+        # (labeled, unlabeled) batch pairs staged ahead by a background
+        # thread (data/prefetch.py: empty unlabeled loader degrades to the
+        # labeled images standing in — pseudo stats are metrics only);
+        # metrics stay on device until ONE per-epoch sync (host_floats).
+        rng, aug_rng, step_rng_e = jax.random.split(rng, 3)
+        for bi, (imgs, masks, u_imgs) in enumerate(prefetch_paired_batches(
+                loaders["train"], loaders["pseudo"], aug_rng, dcfg,
+                depth=depth)):
+            r3 = jax.random.fold_in(step_rng_e, bi)
             if args.int8_teacher:
                 out = ema_mod.ema_semi_step_int8(
                     qvars, teacher, student, u_imgs, imgs, masks, sup_w,
@@ -208,12 +215,15 @@ def _ema_train_loop(args, dcfg, tc, loaders, cfg, logger, *, teacher,
                     threshold=threshold, train_mode=train_mode,
                     rng=r3 if train_mode else None)
             teacher, student = out.teacher_state, out.student_state
-            s_losses.append(float(out.student_loss_total))
-            images_used += int(out.n_kept)
-            if np.isfinite(float(out.pseudo_loss)):
-                p_losses.append(float(out.pseudo_loss))
+            s_losses.append(out.student_loss_total)
+            kept.append(out.n_kept)
+            p_losses.append(out.pseudo_loss)
         teacher = teacher.scheduler_step()
         student = student.scheduler_step()
+        s_losses = common.host_floats(s_losses)
+        images_used = int(sum(common.host_floats(kept)))
+        p_losses = [x for x in common.host_floats(p_losses)
+                    if np.isfinite(x)]
 
         t0 = time.time()
         ev_s, ev_t, mious = [], [], []
@@ -222,9 +232,11 @@ def _ema_train_loop(args, dcfg, tc, loaders, cfg, logger, *, teacher,
                                                    dcfg)
             tl, _ = eval_step(teacher, imgs, masks, cfg)
             sl, pred = eval_step(student, imgs, masks, cfg)
-            ev_t.append(float(tl))
-            ev_s.append(float(sl))
-            mious.append(float(binary_miou(pred, masks)))
+            ev_t.append(tl)
+            ev_s.append(sl)
+            mious.append(binary_miou(pred, masks))
+        ev_t, ev_s = common.host_floats(ev_t), common.host_floats(ev_s)
+        mious = common.host_floats(mious)
         fps = len(loaders["eval"]) / max(time.time() - t0, 1e-9)
 
         train_loss = float(np.mean(s_losses)) if s_losses else 0.0

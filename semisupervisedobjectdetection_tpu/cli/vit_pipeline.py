@@ -85,34 +85,38 @@ def main(argv=None):
     best = float("inf")
     sup_w = jnp.asarray(0.5)
 
+    from semisupervisedobjectdetection_tpu.data.prefetch import (
+        prefetch_train_batches,
+    )
+
+    depth = getattr(args, "prefetch", 2)
     for epoch in range(tc.epochs):
         tl = []
+        # background-staged batches + one metric sync per epoch
+        # (per-step float() costs a tunnel round trip — host_floats)
         if args.mode == "semi":
-            for images_u8, _ in loaders["unlabeled"]:
-                rng, r = jax.random.split(rng)
-                imgs, _ = common.device_train_batch(r, images_u8, None,
-                                                    dcfg)
+            rng, epoch_rng = jax.random.split(rng)
+            for imgs, _ in prefetch_train_batches(
+                    loaders["unlabeled"], epoch_rng, dcfg, depth=depth):
                 state, loss, _ = pseudo_step(state, imgs,
                                              jnp.asarray(True))
-        for images_u8, masks_u8 in loaders["train"]:
-            rng, r = jax.random.split(rng)
+        rng, epoch_rng = jax.random.split(rng)
+        train_src = (((im, None) for im, _ in loaders["train"])
+                     if args.mode == "ae" else loaders["train"])
+        for imgs, masks in prefetch_train_batches(train_src, epoch_rng,
+                                                  dcfg, depth=depth):
             if args.mode == "ae":
-                imgs, _ = common.device_train_batch(r, images_u8, None,
-                                                    dcfg)
                 state, loss, _ = ae_train(state, imgs)
             elif args.mode == "semi":
-                imgs, masks = common.device_train_batch(r, images_u8,
-                                                        masks_u8, dcfg)
                 state, student, loss, _ = ts_labeled(state, student, imgs,
                                                      masks, sup_w)
             else:
-                imgs, masks = common.device_train_batch(r, images_u8,
-                                                        masks_u8, dcfg)
                 state, loss, _ = seg_train(state, imgs, masks)
-            tl.append(float(loss))
+            tl.append(loss)
         state = state.scheduler_step()
         if student is not None:
             student = student.scheduler_step()
+        tl = common.host_floats(tl)
 
         t0 = time.time()
         ev = []
@@ -129,7 +133,8 @@ def main(argv=None):
                 # checkpoints come from the student)
                 loss, _ = seg_eval(student if student is not None
                                    else state, imgs, masks)
-            ev.append(float(loss))
+            ev.append(loss)
+        ev = common.host_floats(ev)
         fps = len(loaders["eval"]) / max(time.time() - t0, 1e-9)
         train_loss = float(np.mean(tl)) if tl else 0.0
         eval_loss = float(np.mean(ev)) if ev else 0.0

@@ -112,7 +112,43 @@ def test_int8_eval_metric_delta_bound():
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "_quant_delta_main.py")
     env = dict(os.environ)
+    # 1200s: a cold compile cache plus CPU contention from concurrent
+    # runs has pushed this past 600s (round-3 flake).
     proc = subprocess.run([sys.executable, script], env=env,
-                          capture_output=True, text=True, timeout=600)
+                          capture_output=True, text=True, timeout=1200)
     assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
     assert "delta=" in proc.stdout
+
+
+def test_int8_snapshot_save_load_roundtrip(tmp_path):
+    """save_quantized/load_quantized: a fresh model serving the restored
+    snapshot predicts bit-identically to the in-memory quantized model."""
+    from semisupervisedobjectdetection_tpu.api import SegFormerModel
+
+    rng = np.random.default_rng(5)
+    imgs = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+
+    m1 = SegFormerModel(config=CFG)
+    m1.quantize()
+    pred1 = m1.predict(imgs)
+    path = str(tmp_path / "int8_snap")
+    m1.save_quantized(path)
+
+    # Different-init model: only the loaded snapshot determines serving.
+    m2 = SegFormerModel(config=CFG, seed=123)
+    m2.load_quantized(path)
+    pred2 = m2.predict(imgs)
+    np.testing.assert_array_equal(np.asarray(pred1), np.asarray(pred2))
+
+    # dequantize returns to the live (different) f32 state.
+    m2.dequantize()
+    pred3 = m2.predict(imgs)
+    assert not np.array_equal(np.asarray(pred1), np.asarray(pred3))
+
+
+def test_save_quantized_requires_snapshot(tmp_path):
+    from semisupervisedobjectdetection_tpu.api import SegFormerModel
+
+    m = SegFormerModel(config=CFG)
+    with pytest.raises(ValueError, match="quantize"):
+        m.save_quantized(str(tmp_path / "x"))
