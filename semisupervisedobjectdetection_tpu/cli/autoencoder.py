@@ -56,7 +56,7 @@ def main(argv=None):
             imgs_only = ((im, None) for im, _ in loaders[flag])
             for imgs, _ in prefetch_train_batches(
                     imgs_only, epoch_rng, dcfg,
-                    depth=getattr(args, "prefetch", 2)):
+                    depth=getattr(args, "prefetch", 1)):
                 loss, _ = model.train_one_epoch_without_mask(imgs,
                                                              lazy=True)
                 train_losses.append(loss)

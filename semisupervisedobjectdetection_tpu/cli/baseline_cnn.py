@@ -86,7 +86,7 @@ def main(argv=None):
             rng, aug_rng_e, step_rng_e = jax.random.split(rng, 3)
             for bi, (imgs, masks) in enumerate(prefetch_train_batches(
                     loaders["train"], aug_rng_e, dcfg,
-                    depth=getattr(args, "prefetch", 2))):
+                    depth=getattr(args, "prefetch", 1))):
                 d_rng = jax.random.fold_in(step_rng_e, bi)
                 state, loss, _ = cnn_train_step(
                     state, imgs, masks, d_rng, arch, dtype=args.dtype,

@@ -41,7 +41,7 @@ def train_loop(model: SegFormerModel, loaders, dcfg, tc, args,
 
     ckpt = BestCheckpointer(args.checkpoint_dir, prefix="segformer")
     rng = jax.random.PRNGKey(args.seed)
-    depth = getattr(args, "prefetch", 2)
+    depth = getattr(args, "prefetch", 1)
     best = float("inf")
     for epoch in range(tc.epochs):
         train_losses = []

@@ -72,7 +72,7 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
         prefetch_train_batches,
     )
 
-    depth = getattr(args, "prefetch", 2)
+    depth = getattr(args, "prefetch", 1)
     for epoch in range(epochs):
         # -------- Phase A: unlabeled pseudo-labeling (`:80-97`).
         # Reference quirk: its every-4th-epoch teacher "update" is a no-op
@@ -184,7 +184,7 @@ def _ema_train_loop(args, dcfg, tc, loaders, cfg, logger, *, teacher,
     # script runs its forwards in TRAIN mode (`model.train()`, `:77-78`).
     train_mode = tc.reference_quirks
     decay = jnp.asarray(args.ema)
-    depth = getattr(args, "prefetch", 2)
+    depth = getattr(args, "prefetch", 1)
     best_s = best_t = float("inf")
     for epoch in range(epochs):
         qvars = qcfg = None

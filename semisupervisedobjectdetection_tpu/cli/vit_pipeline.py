@@ -89,7 +89,7 @@ def main(argv=None):
         prefetch_train_batches,
     )
 
-    depth = getattr(args, "prefetch", 2)
+    depth = getattr(args, "prefetch", 1)
     for epoch in range(tc.epochs):
         tl = []
         # background-staged batches + one metric sync per epoch

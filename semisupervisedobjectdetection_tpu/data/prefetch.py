@@ -12,7 +12,7 @@ the step launches back-to-back instead of waiting on the tunnel/PCIe copy.
 
 Usage:
 
-    pf = DevicePrefetcher(loader, stage_fn, depth=2)
+    pf = DevicePrefetcher(loader, stage_fn, depth=1)
     for staged in pf:            # staged = stage_fn(idx, *host_item)
         ...
 
@@ -37,7 +37,7 @@ class DevicePrefetcher:
     lookahead staged on a background thread."""
 
     def __init__(self, loader: Iterable, stage_fn: Callable[..., Any],
-                 depth: int = 2):
+                 depth: int = 1):
         if depth < 1:
             raise ValueError(f"depth must be >= 1, got {depth}")
         self.loader = loader
@@ -97,7 +97,7 @@ class DevicePrefetcher:
                     break
 
 
-def prefetch_train_batches(loader: Iterable, rng, dcfg, depth: int = 2):
+def prefetch_train_batches(loader: Iterable, rng, dcfg, depth: int = 1):
     """Device-staged train batches: yields (imgs, masks) with the augment
     chain (`cli/common.device_train_batch`) dispatched ahead of use.
 
@@ -137,7 +137,7 @@ def paired_host_batches(train_loader: Iterable, pseudo_loader: Iterable
 
 
 def prefetch_paired_batches(train_loader: Iterable, pseudo_loader: Iterable,
-                            rng, dcfg, depth: int = 2):
+                            rng, dcfg, depth: int = 1):
     """Device-staged (imgs, masks, u_imgs) triples for the fused
     semi-supervised step: labeled batch through the train augment chain,
     the paired unlabeled batch likewise (falling back to the labeled
