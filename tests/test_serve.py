@@ -1,0 +1,133 @@
+"""HTTP inference server (cli/serve.py): routes, batching, formats.
+
+The reference has no serving path (SURVEY.md L4 row — visdom panels and a
+hand-edited Prediction() mode); these tests cover the serving addition:
+fixed-shape batched predict, PNG/npy responses, health/stats routes."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from semisupervisedobjectdetection_tpu.api import SegFormerModel
+from semisupervisedobjectdetection_tpu.cli.serve import InferenceServer
+from semisupervisedobjectdetection_tpu.core.config import mit_b0
+
+CFG = mit_b0(depths=(1, 1, 1, 1), hidden_sizes=(8, 16, 32, 64),
+             num_heads=(1, 2, 4, 8), decoder_hidden=32)
+SIZE = 64
+
+
+@pytest.fixture(scope="module")
+def server():
+    model = SegFormerModel(config=CFG)
+    srv = InferenceServer(model, img_size=SIZE, max_batch=4,
+                          batch_window_ms=20.0, variant="b0-tiny")
+    port = srv.start()
+    yield srv, f"http://127.0.0.1:{port}"
+    srv.stop()
+
+
+def _png_bytes(h=80, w=96, seed=0) -> bytes:
+    rng = np.random.default_rng(seed)
+    img = Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _post(url: str, body: bytes):
+    req = urllib.request.Request(url, data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+def test_healthz(server):
+    _, base = server
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+        obj = json.loads(r.read())
+    assert obj["status"] == "ok"
+    assert obj["img_size"] == SIZE
+    assert obj["max_batch"] == 4
+
+
+def test_predict_png_roundtrip(server):
+    _, base = server
+    status, ctype, body = _post(base + "/predict", _png_bytes(80, 96))
+    assert status == 200 and ctype == "image/png"
+    mask = np.asarray(Image.open(io.BytesIO(body)))
+    # mask comes back at the ORIGINAL image size, binarized
+    assert mask.shape == (80, 96)
+    assert set(np.unique(mask)) <= {0, 255}
+
+
+def test_predict_npy_probabilities(server):
+    _, base = server
+    status, ctype, body = _post(base + "/predict?format=npy",
+                                _png_bytes(seed=1))
+    assert status == 200 and ctype == "application/octet-stream"
+    probs = np.load(io.BytesIO(body))
+    # npy format returns the model-resolution float probability map
+    assert probs.shape == (SIZE, SIZE) and probs.dtype == np.float32
+    assert float(probs.min()) >= 0.0 and float(probs.max()) <= 1.0
+
+
+def test_concurrent_requests_share_batches(server):
+    srv, base = server
+    before = dict(srv.stats)
+    results = [None] * 6
+
+    def worker(i):
+        results[i] = _post(base + "/predict", _png_bytes(seed=10 + i))
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r[0] == 200 for r in results)
+    with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+        stats = json.loads(r.read())
+    new_batches = stats["batches"] - before["batches"]
+    # 6 requests against max_batch=4 with a 20ms window must coalesce
+    # into fewer steps than requests (>= 2 batches, <= 6)
+    assert 2 <= new_batches <= 6
+    assert stats["requests"] - before["requests"] == 6
+
+
+def test_batched_result_matches_direct_predict(server):
+    """The padded fixed-shape batch must return the same mask as calling
+    model.predict directly on the single image (padding rows can't leak
+    into real outputs — no cross-batch ops in the model)."""
+    srv, base = server
+    png = _png_bytes(64, 64, seed=42)
+    img = np.asarray(Image.open(io.BytesIO(png)).convert("RGB"),
+                     np.float32) / 255.0
+    direct = np.asarray(srv.model.predict(
+        np.broadcast_to(img, (4, SIZE, SIZE, 3)).copy()))[0]
+    _, _, body = _post(base + "/predict?format=npy", png)
+    served = np.load(io.BytesIO(body))
+    np.testing.assert_allclose(served, direct, atol=2e-5)
+
+
+def test_bad_image_400_and_unknown_route_404(server):
+    _, base = server
+    req = urllib.request.Request(base + "/predict", data=b"not an image",
+                                 method="POST")
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        raised = None
+    except urllib.error.HTTPError as e:
+        raised = e.code
+    assert raised == 400
+    try:
+        urllib.request.urlopen(base + "/nope", timeout=30)
+        raised = None
+    except urllib.error.HTTPError as e:
+        raised = e.code
+    assert raised == 404
