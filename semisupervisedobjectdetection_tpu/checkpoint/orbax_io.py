@@ -141,3 +141,40 @@ class BestCheckpointer:
         save_state(path, state)
         self.best_path = path
         return path
+
+
+def save_last(directory: str, prefix: str, state: TrainState, epoch: int,
+              best_loss: float = float("inf")) -> str:
+    """Overwrite `{directory}/{prefix}_last` with the full train state plus
+    a JSON sidecar `(epoch, best_loss)` — the crash/preemption-resume
+    artifact. The reference keeps only best-eval checkpoints and always
+    restarts optimization at epoch 0 (`segFormer_main.py:79-86`, SURVEY.md
+    §5 checkpoint row); `_last` lets `--resume` continue mid-run with
+    optimizer/scheduler state and the best-gate intact."""
+    import json
+
+    path = os.path.join(os.path.abspath(directory), f"{prefix}_last")
+    save_state(path, state)
+    with open(path + ".meta.json", "w") as f:
+        json.dump({"epoch": int(epoch), "best_loss": float(best_loss)}, f)
+    return path
+
+
+def load_last(directory: str, prefix: str, template: TrainState):
+    """Restore `{prefix}_last` if present: returns
+    (state, next_epoch, best_loss) or None. `next_epoch` is the epoch to
+    START at (saved epoch + 1); `best_loss` re-arms the best-checkpoint
+    gate so a resumed run cannot overwrite a better pre-crash best."""
+    import json
+
+    path = os.path.join(os.path.abspath(directory), f"{prefix}_last")
+    if not os.path.isdir(path):
+        return None
+    state = restore_state(path, template)
+    meta = {"epoch": -1, "best_loss": float("inf")}
+    try:
+        with open(path + ".meta.json") as f:
+            meta.update(json.load(f))
+    except (OSError, ValueError):
+        pass
+    return state, int(meta["epoch"]) + 1, float(meta["best_loss"])

@@ -43,7 +43,27 @@ def train_loop(model: SegFormerModel, loaders, dcfg, tc, args,
     rng = jax.random.PRNGKey(args.seed)
     depth = getattr(args, "prefetch", 1)
     best = float("inf")
-    for epoch in range(tc.epochs):
+    start_epoch = 0
+    # --tune-lr reruns this loop per grid point: resuming them all from
+    # one shared `_last` would be wrong, so tuning disables resume.
+    resume = (getattr(args, "resume", False) and args.checkpoint_dir
+              and not getattr(args, "tune_lr", None))
+    if resume:
+        from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
+            load_last,
+        )
+        got = load_last(args.checkpoint_dir, "segformer", model.state)
+        if got is not None:
+            model.state, start_epoch, best = got
+            ckpt.best_loss = best
+            # Deterministic restart point for the augment stream; the
+            # exact uninterrupted-run keys are not part of the resume
+            # contract (the reference cannot resume AT ALL — it loses
+            # optimizer/scheduler state, SURVEY.md §5 checkpoint row).
+            rng = jax.random.fold_in(rng, start_epoch)
+            print(f"resumed from epoch {start_epoch} "
+                  f"(best eval {best:.4f})")
+    for epoch in range(start_epoch, tc.epochs):
         train_losses = []
         rng, epoch_rng = jax.random.split(rng)
         # Batches are decoded + staged to device on a background thread
@@ -84,6 +104,12 @@ def train_loop(model: SegFormerModel, loaders, dcfg, tc, args,
             if args.checkpoint_dir:
                 ckpt.maybe_save(model.state, epoch, train_loss, eval_loss,
                                 fps)
+        if resume:
+            from semisupervisedobjectdetection_tpu.checkpoint.orbax_io \
+                import save_last
+
+            save_last(args.checkpoint_dir, "segformer", model.state,
+                      epoch, best)
     return best
 
 
@@ -111,6 +137,12 @@ def main(argv=None):
                    help="sliding-raster window size")
     p.add_argument("--overlap", type=int, default=64,
                    help="sliding-raster window overlap")
+    p.add_argument("--resume", action="store_true",
+                   help="crash-safe mode: write a <ckpt-dir>/*_last "
+                        "checkpoint (full state + epoch + best gate) every "
+                        "epoch and continue from it when present — the "
+                        "reference cannot resume (optimizer/scheduler "
+                        "state is never saved)")
     p.add_argument("--tune-lr",
                    help="comma-separated lrs for grid search on 80/20 split")
     args = p.parse_args(argv)

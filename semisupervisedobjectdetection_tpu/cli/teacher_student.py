@@ -59,21 +59,23 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
     # reference_quirks threads that through. Improved mode (quirks off)
     # uses eval-mode forwards for stable pseudo-labels.
     train_mode = tc.reference_quirks
-    best_s = best_t = float("inf")
+    (teacher, student, start_epoch, best_s, best_t,
+     rng) = _try_resume(args, teacher, student, ckpt_s, ckpt_t, rng)
 
     if args.ema_mode:
         return _ema_train_loop(args, dcfg, tc, loaders, cfg, logger,
                                teacher=teacher, student=student,
                                sup_w=sup_w, threshold=threshold,
                                epochs=epochs, rng=rng, ckpt_s=ckpt_s,
-                               ckpt_t=ckpt_t)
+                               ckpt_t=ckpt_t, start_epoch=start_epoch,
+                               best_s=best_s, best_t=best_t)
 
     from semisupervisedobjectdetection_tpu.data.prefetch import (
         prefetch_train_batches,
     )
 
     depth = getattr(args, "prefetch", 1)
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         # -------- Phase A: unlabeled pseudo-labeling (`:80-97`).
         # Reference quirk: its every-4th-epoch teacher "update" is a no-op
         # (loss built under `no_grad`, `:81-90`), so quirks mode never
@@ -163,12 +165,14 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
         if args.reset_teacher and epoch != 0 and epoch % 5 == 0:
             teacher = ts.copy_student_to_teacher(teacher, student)
             print("!!! teacher reset !!!")
+        _save_lasts(args, teacher, student, epoch, best_s, best_t)
     return min(best_s, best_t)
 
 
 def _ema_train_loop(args, dcfg, tc, loaders, cfg, logger, *, teacher,
                     student, sup_w, threshold, epochs, rng, ckpt_s,
-                    ckpt_t):
+                    ckpt_t, start_epoch=0, best_s=float("inf"),
+                    best_t=float("inf")):
     """The flagship EMA (mean-teacher) loop (train/ema.py): per step, ONE
     fused (unlabeled, labeled) batch-pair update — no-grad teacher
     forwards, pseudo thresholding + denoising, student fwd/bwd, per-step
@@ -185,8 +189,7 @@ def _ema_train_loop(args, dcfg, tc, loaders, cfg, logger, *, teacher,
     train_mode = tc.reference_quirks
     decay = jnp.asarray(args.ema)
     depth = getattr(args, "prefetch", 1)
-    best_s = best_t = float("inf")
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         qvars = qcfg = None
         if args.int8_teacher:
             # Teacher forwards run int8 on a snapshot refreshed per epoch.
@@ -257,7 +260,47 @@ def _ema_train_loop(args, dcfg, tc, loaders, cfg, logger, *, teacher,
             best_t = eval_t
             if args.checkpoint_dir:
                 ckpt_t.maybe_save(teacher, epoch, train_loss, eval_t, fps)
+        _save_lasts(args, teacher, student, epoch, best_s, best_t)
     return min(best_s, best_t)
+
+
+def _try_resume(args, teacher, student, ckpt_s, ckpt_t, rng):
+    """Restore `ts_{teacher,student}_last` when --resume is set and both
+    exist: returns (teacher, student, start_epoch, best_s, best_t, rng).
+    The rng is folded with the restart epoch so the resumed augment
+    stream is deterministic (exact uninterrupted-run keys are not part of
+    the contract — the reference cannot resume at all, SURVEY.md §5)."""
+    fresh = (teacher, student, 0, float("inf"), float("inf"), rng)
+    if not (getattr(args, "resume", False) and args.checkpoint_dir
+            and not getattr(args, "tune", False)):
+        return fresh
+    from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
+        load_last,
+    )
+    got_t = load_last(args.checkpoint_dir, "ts_teacher", teacher)
+    got_s = load_last(args.checkpoint_dir, "ts_student", student)
+    if got_t is None or got_s is None:
+        return fresh
+    teacher, _, best_t = got_t
+    student, start_epoch, best_s = got_s
+    ckpt_t.best_loss, ckpt_s.best_loss = best_t, best_s
+    rng = jax.random.fold_in(rng, start_epoch)
+    print(f"resumed teacher+student from epoch {start_epoch} "
+          f"(best student eval {best_s:.4f}, teacher {best_t:.4f})")
+    return teacher, student, start_epoch, best_s, best_t, rng
+
+
+def _save_lasts(args, teacher, student, epoch, best_s, best_t):
+    """Write both `_last` resume checkpoints (only in --resume mode; the
+    B5 full-state write costs seconds per epoch, so it is opt-in)."""
+    if not (getattr(args, "resume", False) and args.checkpoint_dir
+            and not getattr(args, "tune", False)):
+        return
+    from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
+        save_last,
+    )
+    save_last(args.checkpoint_dir, "ts_teacher", teacher, epoch, best_t)
+    save_last(args.checkpoint_dir, "ts_student", student, epoch, best_s)
 
 
 def main(argv=None):
@@ -279,6 +322,10 @@ def main(argv=None):
     p.add_argument("--int8-teacher", action="store_true",
                    help="ema-mode teacher forwards through the int8 "
                         "serving path (snapshot refreshed per epoch)")
+    p.add_argument("--resume", action="store_true",
+                   help="crash-safe mode: write ts_{teacher,student}_last "
+                        "checkpoints every epoch and continue from them "
+                        "when present (both loops; disabled under --tune)")
     p.add_argument("--tune", action="store_true",
                    help="random-order grid over supervise_weight x "
                         "threshold (reference grid `:274-280`)")

@@ -1,0 +1,93 @@
+"""Crash-safe resume (`--resume`): `_last` checkpoints + epoch restart.
+
+The reference cannot resume mid-run — `torch.save(state_dict)` keeps only
+best-eval params and never the optimizer/scheduler state
+(`segFormer_main.py:79-86`, SURVEY.md §5 checkpoint row). These tests
+cover the rebuild's resume contract: full state round-trips through
+`save_last`/`load_last`, and the supervised / EMA teacher-student CLIs
+continue at the saved epoch with the best-gate re-armed."""
+
+import csv
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
+    load_last,
+    save_last,
+)
+from semisupervisedobjectdetection_tpu.core.config import (
+    TrainConfig,
+    mit_b0,
+)
+from semisupervisedobjectdetection_tpu.models.segformer import SegFormer
+from semisupervisedobjectdetection_tpu.train.state import TrainState
+
+CFG = mit_b0(depths=(1, 1, 1, 1), hidden_sizes=(8, 16, 32, 64),
+             num_heads=(1, 2, 4, 8), decoder_hidden=32)
+
+
+def _tiny_state(seed=0):
+    variables = jax.jit(SegFormer(CFG).init)(
+        jax.random.PRNGKey(seed), jnp.zeros((1, 64, 64, 3)))
+    return TrainState.create(variables, TrainConfig())
+
+
+def test_save_load_last_roundtrip(tmp_path):
+    state = _tiny_state()
+    state = state.replace(epoch=jnp.asarray(3.0))
+    save_last(str(tmp_path), "seg", state, epoch=3, best_loss=0.42)
+    got = load_last(str(tmp_path), "seg", _tiny_state(seed=1))
+    assert got is not None
+    restored, next_epoch, best = got
+    assert next_epoch == 4 and abs(best - 0.42) < 1e-9
+    # params and epoch actually came from the saved state, not template
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(restored.epoch) == 3.0
+
+
+def test_load_last_absent_returns_none(tmp_path):
+    assert load_last(str(tmp_path), "seg", _tiny_state()) is None
+
+
+def _read_epochs(csv_path):
+    with open(csv_path) as f:
+        return [int(float(r["step"])) for r in csv.DictReader(f)]
+
+
+def test_supervised_cli_resumes_at_saved_epoch(tmp_path):
+    from semisupervisedobjectdetection_tpu.cli import supervised
+
+    ckdir = str(tmp_path / "ck")
+    base = ["--synthetic", "--synthetic-n", "6", "--variant", "b0",
+            "--img-size", "64", "--batch-size", "2", "--dtype", "float32",
+            "--checkpoint-dir", ckdir, "--resume"]
+    supervised.main(base + ["--epochs", "2",
+                            "--metrics-csv", str(tmp_path / "a.csv")])
+    assert os.path.isdir(os.path.join(ckdir, "segformer_last"))
+    supervised.main(base + ["--epochs", "4",
+                            "--metrics-csv", str(tmp_path / "b.csv")])
+    # first run logged epochs 0,1; the resumed run continues at 2,3
+    assert _read_epochs(str(tmp_path / "a.csv")) == [0, 1]
+    assert _read_epochs(str(tmp_path / "b.csv")) == [2, 3]
+
+
+def test_ema_cli_resumes_both_models(tmp_path):
+    from semisupervisedobjectdetection_tpu.cli import teacher_student
+
+    ckdir = str(tmp_path / "ck")
+    base = ["--synthetic", "--synthetic-n", "6", "--variant", "b0",
+            "--img-size", "64", "--batch-size", "2", "--dtype", "float32",
+            "--ema-mode", "--checkpoint-dir", ckdir, "--resume"]
+    teacher_student.main(base + ["--epochs", "1",
+                                 "--metrics-csv", str(tmp_path / "a.csv")])
+    for p in ("ts_teacher_last", "ts_student_last"):
+        assert os.path.isdir(os.path.join(ckdir, p))
+    teacher_student.main(base + ["--epochs", "2",
+                                 "--metrics-csv", str(tmp_path / "b.csv")])
+    assert _read_epochs(str(tmp_path / "a.csv")) == [0]
+    assert _read_epochs(str(tmp_path / "b.csv")) == [1]
