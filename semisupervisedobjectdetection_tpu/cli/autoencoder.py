@@ -28,6 +28,9 @@ from semisupervisedobjectdetection_tpu.utils.logging import MetricLogger
 
 def main(argv=None):
     p = common.base_parser(__doc__)
+    p.add_argument("--resume", action="store_true",
+                   help="crash-safe mode: write a *_last checkpoint every "
+                        "epoch and continue from it when present")
     args = p.parse_args(argv)
     dcfg, tc = common.configs_from_args(args)
     dcfg = common.ensure_data(args, dcfg, need_unlabeled=True)
@@ -40,12 +43,24 @@ def main(argv=None):
     logger = MetricLogger(args.metrics_csv)
     rng = jax.random.PRNGKey(args.seed)
     best = float("inf")
+    start_epoch = 0
+    if args.resume and args.checkpoint_dir:
+        from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
+            load_last,
+        )
+        got = load_last(args.checkpoint_dir, "segformer_autoencoder",
+                        model.state)
+        if got is not None:
+            model.state, start_epoch, best = got
+            rng = jax.random.fold_in(rng, start_epoch)
+            print(f"resumed from epoch {start_epoch} "
+                  f"(best train+eval {best:.4f})")
 
     from semisupervisedobjectdetection_tpu.data.prefetch import (
         prefetch_train_batches,
     )
 
-    for epoch in range(tc.epochs):
+    for epoch in range(start_epoch, tc.epochs):
         train_losses = []
         # labeled tiles then unlabeled tiles (ref `:49-68`); batches staged
         # by a background thread, metrics synced once per epoch
@@ -82,6 +97,12 @@ def main(argv=None):
             name = best_checkpoint_name("segformer_autoencoder", epoch,
                                         train_loss, eval_loss, spb)
             save_state(f"{args.checkpoint_dir}/{name}", model.state)
+        if args.resume and args.checkpoint_dir:
+            from semisupervisedobjectdetection_tpu.checkpoint.orbax_io \
+                import save_last
+
+            save_last(args.checkpoint_dir, "segformer_autoencoder",
+                      model.state, epoch, best)
     logger.close()
 
 

@@ -76,6 +76,22 @@ def test_supervised_cli_resumes_at_saved_epoch(tmp_path):
     assert _read_epochs(str(tmp_path / "b.csv")) == [2, 3]
 
 
+def test_autoencoder_cli_resumes(tmp_path):
+    from semisupervisedobjectdetection_tpu.cli import autoencoder
+
+    ckdir = str(tmp_path / "ck")
+    base = ["--synthetic", "--synthetic-n", "6", "--variant", "b0",
+            "--img-size", "64", "--batch-size", "2", "--dtype", "float32",
+            "--checkpoint-dir", ckdir, "--resume"]
+    autoencoder.main(base + ["--epochs", "1",
+                             "--metrics-csv", str(tmp_path / "a.csv")])
+    assert os.path.isdir(os.path.join(ckdir, "segformer_autoencoder_last"))
+    autoencoder.main(base + ["--epochs", "2",
+                             "--metrics-csv", str(tmp_path / "b.csv")])
+    assert _read_epochs(str(tmp_path / "a.csv")) == [0]
+    assert _read_epochs(str(tmp_path / "b.csv")) == [1]
+
+
 def test_ema_cli_resumes_both_models(tmp_path):
     from semisupervisedobjectdetection_tpu.cli import teacher_student
 
