@@ -42,6 +42,11 @@ def main(argv=None):
                         "(baseline_segmentation.py:154-162)")
     p.add_argument("--encoder-groups", type=int, default=32)
     p.add_argument("--encoder-base-width", type=int, default=8)
+    p.add_argument("--resume", action="store_true",
+                   help="crash-safe mode: write a per-arch "
+                        "<ckpt-dir>/<arch>_last checkpoint every epoch and "
+                        "continue from it when present — the reference "
+                        "cannot resume (optimizer state is never saved)")
     args = p.parse_args(argv)
     dcfg, tc = common.configs_from_args(args)
     dcfg = common.ensure_data(args, dcfg)
@@ -75,11 +80,26 @@ def main(argv=None):
         ckpt = BestCheckpointer(args.checkpoint_dir, prefix=arch)
         rng = jax.random.PRNGKey(args.seed)
         best = float("inf")
+        start_epoch = 0
+        resume = args.resume and args.checkpoint_dir
+        if resume:
+            from semisupervisedobjectdetection_tpu.checkpoint.orbax_io \
+                import load_last
+
+            got = load_last(args.checkpoint_dir, arch, state)
+            if got is not None:
+                state, start_epoch, best = got
+                ckpt.best_loss = best
+                # deterministic restart point for the augment stream
+                # (same convention as cli/supervised.py train_loop)
+                rng = jax.random.fold_in(rng, start_epoch)
+                print(f"{arch}: resumed from epoch {start_epoch} "
+                      f"(best eval {best:.4f})")
         from semisupervisedobjectdetection_tpu.data.prefetch import (
             prefetch_train_batches,
         )
 
-        for epoch in range(tc.epochs):
+        for epoch in range(start_epoch, tc.epochs):
             tl = []
             # background-staged batches + one metric sync per epoch
             # (per-step float() costs a tunnel round trip — host_floats)
@@ -111,6 +131,11 @@ def main(argv=None):
             if eval_loss < best and args.checkpoint_dir:
                 best = eval_loss
                 ckpt.maybe_save(state, epoch, train_loss, eval_loss, fps)
+            if resume:
+                from semisupervisedobjectdetection_tpu.checkpoint.orbax_io \
+                    import save_last
+
+                save_last(args.checkpoint_dir, arch, state, epoch, best)
     logger.close()
 
 

@@ -101,6 +101,12 @@ def main(argv=None):
                    help="eval-only from --pretrain-weight with CLS tokens "
                         "(reference `prediction`, "
                         "segFormer_fewshot_learning.py:27-41)")
+    p.add_argument("--resume", action="store_true",
+                   help="crash-safe mode: write a "
+                        "<ckpt-dir>/fewshot_<mode>_last checkpoint every "
+                        "epoch and continue from it when present — the "
+                        "reference cannot resume (optimizer state is "
+                        "never saved)")
     args = p.parse_args(argv)
     dcfg, tc = common.configs_from_args(args)
     if args.labeled_classified:
@@ -153,7 +159,34 @@ def main(argv=None):
     print(f"{len(lab)} labeled domains, {len(unlab)} unlabeled domains")
     rr_lab, rr_unlab = RoundRobin(lab), RoundRobin(unlab)
 
-    for epoch in range(tc.epochs):
+    # Best-eval checkpointing mirrors the reference's save_model gate
+    # (`segFormer_fewshot_learning.py:160-166` seg, `:323-328` ae).
+    from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
+        BestCheckpointer,
+    )
+
+    ckpt = BestCheckpointer(args.checkpoint_dir,
+                            prefix=f"fewshot_{args.mode}")
+    best = float("inf")
+    start_epoch = 0
+    resume = args.resume and args.checkpoint_dir
+    if resume:
+        from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
+            load_last,
+        )
+
+        got = load_last(args.checkpoint_dir, f"fewshot_{args.mode}", state)
+        if got is not None:
+            state, start_epoch, best = got
+            ckpt.best_loss = best
+            # deterministic restart points for both sampling streams
+            # (same convention as cli/supervised.py train_loop)
+            rng = jax.random.fold_in(rng, start_epoch)
+            pyrng = random.Random(args.seed + start_epoch)
+            print(f"resumed from epoch {start_epoch} "
+                  f"(best eval {best:.4f})")
+
+    for epoch in range(start_epoch, tc.epochs):
         ep_losses = []
         for it in range(iters):
             def draw_pair(rr, n):
@@ -198,8 +231,20 @@ def main(argv=None):
             ev.append(loss)
         ev = common.host_floats(ev)
         fps = len(eval_loaders["eval"]) / max(time.time() - t0, 1e-9)
-        logger.log(epoch, train_loss=float(np.mean(ep_losses)),
-                   eval_loss=float(np.mean(ev)) if ev else 0.0, fps=fps)
+        train_loss = float(np.mean(ep_losses)) if ep_losses else 0.0
+        eval_loss = float(np.mean(ev)) if ev else 0.0
+        logger.log(epoch, train_loss=train_loss, eval_loss=eval_loss,
+                   fps=fps)
+        if eval_loss < best:
+            best = eval_loss
+            if args.checkpoint_dir:
+                ckpt.maybe_save(state, epoch, train_loss, eval_loss, fps)
+        if resume:
+            from semisupervisedobjectdetection_tpu.checkpoint.orbax_io \
+                import save_last
+
+            save_last(args.checkpoint_dir, f"fewshot_{args.mode}", state,
+                      epoch, best)
     logger.close()
 
 

@@ -47,7 +47,16 @@ def main(argv=None):
     p.add_argument("--tune-tokens", default="1,10,100",
                    help="token counts for --tune (reference grid "
                         "{1,10,100}, `:181-184`)")
+    p.add_argument("--resume", action="store_true",
+                   help="crash-safe mode: write a <ckpt-dir>/*_last "
+                        "checkpoint every epoch and continue from it when "
+                        "present (ignored under --tune: grid points must "
+                        "not share one _last)")
     args = p.parse_args(argv)
+    if args.tune and args.resume:
+        print("--resume is ignored under --tune (each grid point would "
+              "otherwise restore the previous point's _last checkpoint)")
+        args.resume = False
     dcfg, tc = common.configs_from_args(args)
     dcfg = common.ensure_data(args, dcfg)
     loaders = common.make_loaders(dcfg, args.seed)

@@ -40,6 +40,12 @@ def main(argv=None):
                         "(.pth/.safetensors) to warm-start the encoder, "
                         "the reference's torch.hub dinov2_vitb14 load "
                         "(VitSegModel.py:20)")
+    p.add_argument("--resume", action="store_true",
+                   help="crash-safe mode: write <ckpt-dir>/vit_<mode>_last "
+                        "checkpoints every epoch (both models in --mode "
+                        "semi) and continue from them when present — the "
+                        "reference cannot resume (optimizer state is "
+                        "never saved)")
     args = p.parse_args(argv)
     dcfg, tc = common.configs_from_args(args)
     # ViT needs img size divisible by the patch size
@@ -83,6 +89,29 @@ def main(argv=None):
     ckpt = BestCheckpointer(args.checkpoint_dir, prefix=f"vit_{args.mode}")
     rng = jax.random.PRNGKey(args.seed)
     best = float("inf")
+    start_epoch = 0
+    resume = args.resume and args.checkpoint_dir
+    if resume:
+        from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
+            load_last,
+        )
+
+        got = load_last(args.checkpoint_dir, f"vit_{args.mode}", state)
+        got_s = (load_last(args.checkpoint_dir, "vit_semi_student", student)
+                 if student is not None else None)
+        # semi mode only resumes when BOTH _last checkpoints exist: a
+        # teacher restored against a fresh student (or vice versa) is a
+        # different optimization trajectory, not a continuation.
+        if got is not None and (student is None or got_s is not None):
+            state, start_epoch, best = got
+            if got_s is not None:
+                student = got_s[0]
+            ckpt.best_loss = best
+            # deterministic restart point for the augment stream (same
+            # convention as cli/supervised.py train_loop)
+            rng = jax.random.fold_in(rng, start_epoch)
+            print(f"resumed from epoch {start_epoch} "
+                  f"(best eval {best:.4f})")
     sup_w = jnp.asarray(0.5)
 
     from semisupervisedobjectdetection_tpu.data.prefetch import (
@@ -90,7 +119,7 @@ def main(argv=None):
     )
 
     depth = getattr(args, "prefetch", 1)
-    for epoch in range(tc.epochs):
+    for epoch in range(start_epoch, tc.epochs):
         tl = []
         # background-staged batches + one metric sync per epoch
         # (per-step float() costs a tunnel round trip — host_floats)
@@ -142,7 +171,20 @@ def main(argv=None):
                    fps=fps)
         if eval_loss < best and args.checkpoint_dir:
             best = eval_loss
-            ckpt.maybe_save(state, epoch, train_loss, eval_loss, fps)
+            # semi mode checkpoints the STUDENT — the reference saves
+            # student_model.state_dict() on the student's best eval
+            # (vit_semi_teacherstudent_main.py:159-164)
+            ckpt.maybe_save(student if student is not None else state,
+                            epoch, train_loss, eval_loss, fps)
+        if resume:
+            from semisupervisedobjectdetection_tpu.checkpoint.orbax_io \
+                import save_last
+
+            save_last(args.checkpoint_dir, f"vit_{args.mode}", state,
+                      epoch, best)
+            if student is not None:
+                save_last(args.checkpoint_dir, "vit_semi_student", student,
+                          epoch, best)
     logger.close()
 
 

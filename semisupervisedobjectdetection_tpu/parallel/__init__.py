@@ -1,3 +1,8 @@
+from semisupervisedobjectdetection_tpu.parallel.collective import (  # noqa: F401,E501
+    all_gather_matmul,
+    matmul_reduce_scatter,
+    sequence_parallel_ffn,
+)
 from semisupervisedobjectdetection_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     fsdp_shard,

@@ -92,6 +92,82 @@ def test_autoencoder_cli_resumes(tmp_path):
     assert _read_epochs(str(tmp_path / "b.csv")) == [1]
 
 
+def test_transfer_cli_resumes(tmp_path):
+    from semisupervisedobjectdetection_tpu.cli import transfer
+
+    ckdir = str(tmp_path / "ck")
+    base = ["--synthetic", "--synthetic-n", "6", "--variant", "b0",
+            "--img-size", "64", "--batch-size", "2", "--dtype", "float32",
+            "--frozen", "0", "--prompt-tokens", "1,1,1,1",
+            "--checkpoint-dir", ckdir, "--resume"]
+    transfer.main(base + ["--epochs", "2",
+                          "--metrics-csv", str(tmp_path / "a.csv")])
+    assert os.path.isdir(os.path.join(ckdir, "segformer_last"))
+    transfer.main(base + ["--epochs", "4",
+                          "--metrics-csv", str(tmp_path / "b.csv")])
+    assert _read_epochs(str(tmp_path / "a.csv")) == [0, 1]
+    assert _read_epochs(str(tmp_path / "b.csv")) == [2, 3]
+
+
+def test_baseline_cnn_cli_resumes(tmp_path):
+    from semisupervisedobjectdetection_tpu.cli import baseline_cnn
+
+    ckdir = str(tmp_path / "ck")
+    base = ["--synthetic", "--synthetic-n", "4", "--img-size", "64",
+            "--batch-size", "2", "--dtype", "float32",
+            "--archs", "deeplabv3p", "--encoder-depths", "1,1,1,1",
+            "--encoder-groups", "2", "--encoder-base-width", "8",
+            "--checkpoint-dir", ckdir, "--resume"]
+    baseline_cnn.main(base + ["--epochs", "1",
+                              "--metrics-csv", str(tmp_path / "a.csv")])
+    assert os.path.isdir(os.path.join(ckdir, "deeplabv3p_last"))
+    baseline_cnn.main(base + ["--epochs", "2",
+                              "--metrics-csv", str(tmp_path / "b.csv")])
+    assert _read_epochs(str(tmp_path / "a.csv")) == [0]
+    assert _read_epochs(str(tmp_path / "b.csv")) == [1]
+
+
+def test_fewshot_cli_saves_best_and_resumes(tmp_path):
+    # The reference fewshot loops save best-eval checkpoints too
+    # (segFormer_fewshot_learning.py:160-166,323-328); this covers both
+    # that parity (a best checkpoint appears) and the --resume contract.
+    from semisupervisedobjectdetection_tpu.cli import fewshot
+
+    ckdir = str(tmp_path / "ck")
+    base = ["--synthetic", "--synthetic-n", "6", "--variant", "b0",
+            "--img-size", "64", "--batch-size", "2", "--dtype", "float32",
+            "--mode", "ae", "--iterations", "2",
+            "--checkpoint-dir", ckdir, "--resume"]
+    fewshot.main(base + ["--epochs", "1",
+                         "--metrics-csv", str(tmp_path / "a.csv")])
+    assert os.path.isdir(os.path.join(ckdir, "fewshot_ae_last"))
+    best = [d for d in os.listdir(ckdir)
+            if d.startswith("fewshot_ae") and not d.endswith("_last")]
+    assert best, "no best-eval checkpoint was written"
+    fewshot.main(base + ["--epochs", "2",
+                         "--metrics-csv", str(tmp_path / "b.csv")])
+    assert _read_epochs(str(tmp_path / "a.csv")) == [0]
+    assert _read_epochs(str(tmp_path / "b.csv")) == [1]
+
+
+def test_vit_semi_cli_resumes_both_models(tmp_path):
+    from semisupervisedobjectdetection_tpu.cli import vit_pipeline
+
+    ckdir = str(tmp_path / "ck")
+    base = ["--synthetic", "--synthetic-n", "4", "--img-size", "32",
+            "--patch-size", "8", "--vit", "small", "--vit-depth", "1",
+            "--batch-size", "2", "--dtype", "float32", "--mode", "semi",
+            "--checkpoint-dir", ckdir, "--resume"]
+    vit_pipeline.main(base + ["--epochs", "1",
+                              "--metrics-csv", str(tmp_path / "a.csv")])
+    for p in ("vit_semi_last", "vit_semi_student_last"):
+        assert os.path.isdir(os.path.join(ckdir, p))
+    vit_pipeline.main(base + ["--epochs", "2",
+                              "--metrics-csv", str(tmp_path / "b.csv")])
+    assert _read_epochs(str(tmp_path / "a.csv")) == [0]
+    assert _read_epochs(str(tmp_path / "b.csv")) == [1]
+
+
 def test_ema_cli_resumes_both_models(tmp_path):
     from semisupervisedobjectdetection_tpu.cli import teacher_student
 
