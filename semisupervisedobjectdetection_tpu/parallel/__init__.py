@@ -1,6 +1,7 @@
 from semisupervisedobjectdetection_tpu.parallel.collective import (  # noqa: F401,E501
     all_gather_matmul,
     matmul_reduce_scatter,
+    mixffn_collective,
     sequence_parallel_ffn,
 )
 from semisupervisedobjectdetection_tpu.parallel.mesh import (  # noqa: F401
