@@ -362,6 +362,21 @@ class SegFormerModel:
         self.state = restore_state(path, self.state)
         print("Pretrained model loaded")
 
+    def export_hf(self, path: str) -> None:
+        """Write the current weights as a torch/HF-layout checkpoint
+        (`.safetensors` or `.pth`) loadable by the reference stack —
+        the inverse of `load_hf` (checkpoint/hf_export.py). Prompt/CLS
+        tokens have no torch state_dict home (the reference keeps them in
+        encoder-owned lists, `SegFormerModel.py:69-101`); recover them
+        with `checkpoint.hf_export.export_prompt_tokens`."""
+        from semisupervisedobjectdetection_tpu.checkpoint.hf_export import (
+            export_torch_state_dict,
+            save_torch_checkpoint,
+        )
+        sd = export_torch_state_dict(self.cfg, self.state.params,
+                                     self.state.batch_stats)
+        save_torch_checkpoint(path, sd)
+
     def load_hf(self, path_or_model) -> None:
         """Import torch SegFormer weights (file path or live HF model),
         with the classifier-head policy of `SegFormerModel.py:21-30`."""
