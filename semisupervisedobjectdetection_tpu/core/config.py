@@ -70,6 +70,16 @@ class MiTConfig:
     # XLA automatically).
     dwconv_impl: str = "xla"
 
+    # Whole-MixFFN dataflow: "xla" (dense/conv chain; under `tp_shard`
+    # GSPMD inserts one all-reduce per layer) or "collective" (explicit
+    # ring-overlapped AG-matmul -> local dwconv/GELU -> matmul-RS via
+    # shard_map over the ambient mesh's `tp` axis,
+    # `parallel/collective.py::mixffn_collective_ctx`). "collective"
+    # activates only when a `jax.set_mesh` context mesh with a `tp` axis
+    # is in scope and the stage's token/hidden counts divide it; it falls
+    # back to the XLA chain otherwise, so one config runs anywhere.
+    ffn_impl: str = "xla"
+
     # GELU flavor: False = exact erf (matches HF/reference numerics), True
     # = tanh approximation (~27% faster encoder forward on TPU — the erf
     # transcendental dominates the VPU; approx differs by ~1e-3 relative).

@@ -255,11 +255,44 @@ class MixFFN(nn.Module):
     gelu_approx: bool = False
     dwconv_impl: str = "xla"
     quant: str = "none"
+    ffn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: Array, h: int, w: int,
                  deterministic: bool) -> Array:
         b, n, c = x.shape
+        # Explicit ring collective-matmul MixFFN (parallel/collective.py):
+        # ring-overlapped AG-matmul (dense1) -> local depthwise conv +
+        # GELU on the hidden shard -> row-parallel dense2 closed by one
+        # psum, over the ambient mesh's tp axis. Activation boundaries
+        # stay replicated (see `_mixffn_local_ar` for why that is a
+        # correctness requirement, not a style choice). Static guards —
+        # resolved at trace time — fall back to the XLA chain when no tp
+        # mesh is in scope or the shapes don't divide it, so a
+        # ffn_impl="collective" config still runs single-chip.
+        if self.ffn_impl == "collective" and self.quant == "none":
+            from semisupervisedobjectdetection_tpu.parallel.collective import (
+                context_tp_size,
+                mixffn_collective_ctx,
+            )
+            tp = context_tp_size()
+            if tp > 1 and n % tp == 0 and self.mlp_hidden % tp == 0:
+                if self.hidden_dropout > 0.0 and not deterministic:
+                    raise ValueError(
+                        "ffn_impl='collective' requires inactive hidden "
+                        "dropout (the reference trains with 0.0)")
+                m = self.mlp_hidden
+                w1, b1 = _FFNParams(((c, m), dense_init), name="dense1")()
+                kd, bk = _FFNParams(((3, 3, 1, m),
+                                     nn.initializers.lecun_normal()),
+                                    name="dwconv")()
+                w2, b2 = _FFNParams(((m, self.hidden_size), dense_init),
+                                    name="dense2")()
+                dt = self.dtype
+                return mixffn_collective_ctx(
+                    x, w1.astype(dt), b1.astype(dt), kd.astype(dt),
+                    bk.astype(dt), w2.astype(dt), b2.astype(dt),
+                    h, w, self.gelu_approx).astype(dt)
         from semisupervisedobjectdetection_tpu.ops.fused_ffn import (
             fused_ffn,
             fused_fits,
@@ -338,6 +371,7 @@ class Block(nn.Module):
     gelu_approx: bool = False
     dwconv_impl: str = "xla"
     quant: str = "none"
+    ffn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, carry, per_layer):
@@ -379,7 +413,7 @@ class Block(nn.Module):
                                                self.mlp_ratio),
                          self.hidden_dropout, self.dtype,
                          self.gelu_approx, self.dwconv_impl, self.quant,
-                         name="mlp")(
+                         self.ffn_impl, name="mlp")(
             checkpoint_name(
                 nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
                              name="layer_norm_2")(tokens), "ln2"),
@@ -486,7 +520,7 @@ def _stage_body(mdl: nn.Module, cfg: MiTConfig, i: int, x: Array,
         cfg.attention_dropout, cfg.hidden_dropout,
         cfg.layer_norm_eps, dtype, deterministic,
         cfg.attn_impl, cfg.gelu_approx, cfg.dwconv_impl,
-        cfg.quant, name=f"block_{i}")(
+        cfg.quant, cfg.ffn_impl, name=f"block_{i}")(
             (tokens.reshape(b, h, w, c), carried),
             (stage_dprs, prompt_per_layer, prompt_shared))
 

@@ -67,9 +67,15 @@ def _ag_matmul_local(x_local, w_local, n: int, axis_name: str):
     m_local = w_local.shape[-1]
     # mark the output buffer as device-varying over the ring axis up
     # front — the loop carry must keep one replication type across
-    # iterations (shard_map's vma check)
+    # iterations (shard_map's vma check). Under a PARTIAL-manual
+    # shard_map (manual over the ring axis only, e.g. the dp x tp model
+    # path via `mixffn_collective_ctx`) x_local still carries explicit
+    # sharding on its batch dim; the buffer must match it or the
+    # dynamic_update_slice below rejects the mixed shardings.
+    spec0 = jax.typeof(x_local).sharding.spec[0]
+    kw = {"out_sharding": P(spec0, None, None)} if spec0 is not None else {}
     out0 = jax.lax.pcast(
-        jnp.zeros((b, s_local * n, m_local), dtype=x_local.dtype),
+        jnp.zeros((b, s_local * n, m_local), dtype=x_local.dtype, **kw),
         axis_name, to="varying")
 
     def body(i, carry):
@@ -200,6 +206,89 @@ def mixffn_collective(mesh: Mesh, x, params, h: int, w: int,
     d1, dw, d2 = params["dense1"], params["dwconv"], params["dense2"]
     return f(x, d1["kernel"], d1["bias"], dw["kernel"], dw["bias"],
              d2["kernel"], d2["bias"])
+
+
+def context_tp_size(axis_name: str = "tp") -> int:
+    """Size of `axis_name` in the ambient context mesh (`jax.set_mesh`),
+    or 0 when no mesh / no such axis is active. Readable inside jit
+    tracing, so the model can STATICALLY pick the collective MixFFN path
+    only when a tp mesh is actually in scope (`MiTConfig.ffn_impl`)."""
+    am = jax.sharding.get_abstract_mesh()
+    if am is None or axis_name not in am.axis_names:
+        return 0
+    return am.shape[axis_name]
+
+
+def _mixffn_local_ar(x_full, w1, b1, kd, bk, w2, b2, n: int,
+                     axis_name: str, h: int, w: int, gelu_approx: bool):
+    """`_mixffn_local` with REPLICATED activation boundaries: x arrives
+    full-width (sliced to this device's sequence chunk here, inside the
+    manual region) and dense2 closes row-parallel with one `psum`, so
+    both the input and the output the surrounding GSPMD program sees
+    are device-invariant over the ring axis. Activation shardings must
+    not leak across the shard_map boundary in EITHER direction: a
+    sequence-sharded in_spec/out_spec hands GSPMD an S-sharded
+    (co)tangent whose backward reshards degenerate tiny-tile shardings
+    through the SPMD partitioner's replicate-and-repartition fallback,
+    silently corrupting gradients (XLA b/433785288; reproduced via the
+    tp>=4 grad mismatch in tests/test_collective.py's model-path test
+    when either boundary is left sharded). Weight in_specs stay
+    tp-sharded — they are leaves, matching `parallel/tp.py`'s param
+    shardings, and their cotangents reshard without touching the buggy
+    reshape path."""
+    idx = jax.lax.axis_index(axis_name)
+    s_local = x_full.shape[1] // n
+    x_local = jax.lax.dynamic_slice_in_dim(
+        jax.lax.pcast(x_full, axis_name, to="varying"),
+        idx * s_local, s_local, axis=1)
+    hid = _ag_matmul_local(x_local, w1, n, axis_name)
+    hid = hid + b1[None, None, :]
+    b, s, m_local = hid.shape
+    hid = jax.lax.conv_general_dilated(
+        hid.reshape(b, h, w, m_local), kd,
+        window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        feature_group_count=m_local,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).reshape(b, s, m_local) + bk[None, None, :]
+    hid = jax.nn.gelu(hid, approximate=gelu_approx)
+    y = jax.lax.psum(hid @ w2, axis_name)
+    return y + b2[None, None, :]
+
+
+def mixffn_collective_ctx(x, w1, b1, kd, bk, w2, b2, h: int, w: int,
+                          gelu_approx: bool = False,
+                          axis_name: str = "tp"):
+    """Collective MixFFN against the AMBIENT mesh (`jax.set_mesh`),
+    manual only over `axis_name` — every other mesh axis (e.g. the data
+    axis of a dp x tp mesh) stays in GSPMD auto mode, so the batch
+    dimension keeps its dp sharding straight through the ring. This is
+    the entry point the model itself calls (`models/segformer.py::MixFFN`
+    with `ffn_impl='collective'`); weight/activation dtypes are the
+    caller's. Raw kernel/bias leaves in, same shapes as
+    `mixffn_collective`.
+
+    Comm accounting: entering the shard_map only SLICES x (no comm);
+    the dense1 input gather rides the ring hidden behind the chunk
+    matmuls; the row-parallel dense2 close costs one all-reduce of a
+    C-width activation — the same exposed collective GSPMD inserts for
+    `parallel/tp.py`'s row-parallel dense2, with the gather made
+    explicit and overlapped. The replicated output (see
+    `_mixffn_local_ar`) drops into the existing scan carry / attention
+    shardings unchanged. The pure Megatron-SP dataflow (tokens staying
+    sequence-sharded between layers, matmul-RS close) remains available
+    as `mixffn_collective` for full-manual callers."""
+    n = context_tp_size(axis_name)
+    f = jax.shard_map(
+        functools.partial(_mixffn_local_ar, n=n, axis_name=axis_name,
+                          h=h, w=w, gelu_approx=gelu_approx),
+        in_specs=(P(None, None, None),               # x: replicated in
+                  P(None, axis_name), P(axis_name),  # dense1 col-parallel
+                  P(None, None, None, axis_name),    # dwconv per-channel
+                  P(axis_name),
+                  P(axis_name, None), P(None)),      # dense2 row-parallel
+        out_specs=P(None, None, None),
+        axis_names={axis_name})
+    return f(x, w1, b1, kd, bk, w2, b2)
 
 
 def sequence_parallel_ffn(mesh: Mesh, x, w1, b1, w2, b2,

@@ -125,3 +125,69 @@ def test_collectives_jit_and_grad():
                             np.asarray(x) @ np.asarray(w))
     np.testing.assert_allclose(np.asarray(g), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+TINY = None  # built lazily; importing config at module import keeps CPU conftest first
+
+
+def _tiny_cfg():
+    from semisupervisedobjectdetection_tpu.core.config import mit_b0
+
+    return mit_b0(depths=(1, 1, 1, 1), hidden_sizes=(8, 16, 32, 64),
+                  num_heads=(1, 2, 4, 8), decoder_hidden=32)
+
+
+@needs8
+@pytest.mark.parametrize("mesh_shape,axes", [((8,), ("tp",)),
+                                             ((2, 4), ("dp", "tp"))])
+def test_model_ffn_impl_collective_matches_xla(mesh_shape, axes):
+    """`MiTConfig.ffn_impl='collective'` routes every divisible stage's
+    MixFFN through `mixffn_collective_ctx` under the ambient mesh; logits
+    AND parameter gradients must match the XLA chain.
+
+    The grad check is load-bearing: leaking a sequence-sharded activation
+    across the shard_map boundary (either direction) reshards degenerate
+    tiny-tile shardings through XLA's SPMD replicate-and-repartition
+    fallback (b/433785288) and silently corrupts upstream gradients by
+    O(1) — caught only by exactly this comparison."""
+    from semisupervisedobjectdetection_tpu.models.segformer import SegFormer
+
+    cfg = _tiny_cfg()
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 64, 64, 3)),
+                    jnp.float32)
+    m_x = SegFormer(cfg)
+    m_c = SegFormer(cfg.replace(ffn_impl="collective"))
+    v = jax.jit(m_x.init)(jax.random.PRNGKey(0), x)
+
+    def loss(mod, p, xin):
+        lg, _ = mod.apply({**v, "params": p}, xin)
+        return jnp.sum(lg ** 2)
+
+    want, _ = jax.jit(m_x.apply)(v, x)
+    g1 = jax.jit(jax.grad(lambda p: loss(m_x, p, x)))(v["params"])
+
+    # no ambient mesh: the collective config must fall back bit-exactly
+    out, _ = jax.jit(m_c.apply)(v, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+    mesh = jax.make_mesh(mesh_shape, axes,
+                         axis_types=(jax.sharding.AxisType.Auto,) * len(axes))
+    with jax.set_mesh(mesh):
+        rep = NamedSharding(mesh, P())
+        xs = jax.device_put(x, NamedSharding(mesh, P("dp"))
+                            if "dp" in axes else rep)
+        got, _ = jax.jit(m_c.apply)(v, xs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+        # pin grad out-shardings: unconstrained tiny-leaf outputs can hit
+        # a jax GSPMD->NamedSharding parse failure (KeyError) unrelated
+        # to the numerics under test
+        g2 = jax.jit(jax.grad(lambda p: loss(m_c, p, xs)),
+                     out_shardings=rep)(v["params"])
+    flat1 = jax.tree_util.tree_flatten_with_path(g1)[0]
+    flat2 = jax.tree.leaves(g2)
+    for (kp, a), b in zip(flat1, flat2):
+        scale = max(float(jnp.max(jnp.abs(a))), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=5e-5 * scale,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(kp)}")
