@@ -32,6 +32,7 @@ def main(argv=None):
                    help="crash-safe mode: write a *_last checkpoint every "
                         "epoch and continue from it when present")
     args = p.parse_args(argv)
+    common.warn_parallel_unsupported(args, 'autoencoder')
     dcfg, tc = common.configs_from_args(args)
     dcfg = common.ensure_data(args, dcfg, need_unlabeled=True)
     loaders = common.make_loaders(dcfg, args.seed,

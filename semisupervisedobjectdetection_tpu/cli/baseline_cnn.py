@@ -51,6 +51,7 @@ def main(argv=None):
     dcfg, tc = common.configs_from_args(args)
     dcfg = common.ensure_data(args, dcfg)
     common.warn_perf_unsupported(args, 'baseline_cnn')
+    common.warn_parallel_unsupported(args, 'baseline_cnn')
     loaders = common.make_loaders(dcfg, args.seed)
     logger = MetricLogger(args.metrics_csv)
     depths = tuple(int(x) for x in args.encoder_depths.split(","))

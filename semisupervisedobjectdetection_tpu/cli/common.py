@@ -83,6 +83,27 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "2 (~9.0 vs 11.1 / 11.4 s per epoch) — one staged "
                         "batch hides host IO; two adds HBM+tunnel "
                         "contention")
+    p.add_argument("--parallel", default="none",
+                   choices=["none", "dp", "fsdp", "tp"],
+                   help="multi-chip strategy (parallel/): 'dp' replicates "
+                        "params and shards batches over all devices, "
+                        "'fsdp' additionally shards params+optimizer state "
+                        "ZeRO-3-style over the data axis, 'tp' builds a "
+                        "(data, tp) mesh with FFN column/row- and "
+                        "head-parallel attention tensor parallelism "
+                        "(parallel/tp.py) and installs it as the ambient "
+                        "mesh (enables ffn_impl='collective'). 'none' "
+                        "(default) keeps the single-device behavior")
+    p.add_argument("--tp", type=int, default=2,
+                   help="tp-axis size for --parallel tp (must divide the "
+                        "device count)")
+    p.add_argument("--ffn-impl", default=None,
+                   choices=["xla", "collective"],
+                   help="MixFFN dataflow override (MiTConfig.ffn_impl): "
+                        "'collective' = explicit ring AG-matmul + "
+                        "row-parallel psum over the ambient tp mesh "
+                        "(requires --parallel tp; falls back to the XLA "
+                        "chain on non-divisible stages)")
     return p
 
 
@@ -90,7 +111,111 @@ def apply_perf_preset(cfg, args):
     """Apply --perf (the benched fast config) to a MiTConfig."""
     if getattr(args, "perf", False):
         cfg = cfg.replace(gelu_approx=True, scan_unroll=4)
+    if getattr(args, "ffn_impl", None):
+        cfg = cfg.replace(ffn_impl=args.ffn_impl)
     return cfg
+
+
+# Set by setup_parallel; device_train_batch/device_eval_batch consult it
+# so host batches land on the mesh data-sharded (one slot: CLIs are
+# single-run processes; tests restore via teardown_parallel).
+_DATA_SHARDING = [None]
+_AMBIENT_MESH = [None]
+
+
+def teardown_parallel() -> None:
+    """Undo setup_parallel's process-global effects (tests only — a CLI
+    process exits instead). Restores the previous ambient mesh and stops
+    sharding staged batches."""
+    _DATA_SHARDING[0] = None
+    handle = _AMBIENT_MESH[0]
+    _AMBIENT_MESH[0] = None
+    if handle is not None:
+        handle.__exit__(None, None, None)
+
+
+def setup_parallel(args, states, cfg=None):
+    """Provision the --parallel device mesh and shard TrainStates onto it.
+
+    `states` is a tuple of TrainState (one per model — the semi loops
+    carry a teacher and a student); returns (mesh | None, states) with
+    every state re-placed. Also flips the module-level batch sharding so
+    `device_train_batch`/`device_eval_batch` put host batches onto the
+    mesh data-sharded — from there GSPMD runs the existing jitted steps
+    SPMD with no step-code changes (the reference is single-GPU,
+    `SURVEY.md §5`; this is TPU-scaling capability with no counterpart).
+    """
+    mode = getattr(args, "parallel", "none")
+    if mode in (None, "none"):
+        if getattr(args, "ffn_impl", None) == "collective":
+            print("note: --ffn-impl collective without --parallel tp "
+                  "falls back to the XLA chain (no ambient tp mesh)")
+        return None, states
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from semisupervisedobjectdetection_tpu.parallel.mesh import (
+        fsdp_shard,
+        get_mesh,
+        replicate,
+    )
+
+    ndev = len(jax.devices())
+    if mode == "dp":
+        mesh = get_mesh()
+        states = tuple(replicate(mesh, s) for s in states)
+    elif mode == "fsdp":
+        mesh = get_mesh()
+        states = tuple(fsdp_shard(mesh, s) for s in states)
+    else:  # tp
+        from semisupervisedobjectdetection_tpu.parallel.tp import (
+            dp_tp_mesh,
+            tp_shard,
+        )
+
+        tp = max(1, getattr(args, "tp", 2))
+        if ndev % tp:
+            raise SystemExit(
+                f"--tp {tp} does not divide the {ndev} available devices")
+        mesh = dp_tp_mesh(dp=ndev // tp, tp=tp)
+        heads = getattr(cfg, "num_heads", None) if cfg is not None else None
+        states = tuple(
+            s.replace(params=tp_shard(mesh, s.params,
+                                      num_heads_by_stage=heads))
+            for s in (replicate(mesh, s) for s in states))
+        # Ambient mesh for the whole run: ffn_impl="collective" resolves
+        # its static guard against it (models/segformer.py::MixFFN).
+        _AMBIENT_MESH[0] = jax.set_mesh(mesh)
+    _DATA_SHARDING[0] = NamedSharding(mesh, P("data"))
+    shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    print(f"--parallel {mode}: {shape} mesh over {ndev} "
+          f"{jax.devices()[0].platform} device(s)")
+    return mesh, states
+
+
+def warn_parallel_unsupported(args, cli_name: str) -> None:
+    """CLIs not yet routed through setup_parallel accept --parallel from
+    the shared parser but cannot honor it — say so instead of silently
+    ignoring the flag."""
+    if getattr(args, "parallel", "none") not in (None, "none"):
+        print(f"warning: --parallel has no effect for {cli_name} "
+              "(supervised/teacher_student only)")
+
+
+def _stage(x):
+    """Host array -> device array, data-sharded when a --parallel mesh is
+    active. An odd tail batch that does not divide the data axis is
+    placed replicated instead (correct, just not split for that batch)."""
+    if x is None:
+        return None
+    s = _DATA_SHARDING[0]
+    if s is None:
+        return jnp.asarray(x)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = s.mesh.shape["data"]
+    if getattr(x, "shape", ()) and x.shape[0] % n == 0:
+        return jax.device_put(x, s)
+    return jax.device_put(x, NamedSharding(s.mesh, P()))
 
 
 def warn_perf_unsupported(args, cli_name: str) -> None:
@@ -217,8 +342,8 @@ def host_floats(xs) -> list:
 
 def device_train_batch(rng, images_u8, masks_u8, dcfg: DataConfig):
     """Host uint8 -> device-augmented float batch (train chain)."""
-    imgs = jnp.asarray(images_u8)
-    masks = jnp.asarray(masks_u8) if masks_u8 is not None else None
+    imgs = _stage(images_u8)
+    masks = _stage(masks_u8)
     return augment_batch(rng, imgs, masks, crop=dcfg.crop,
                          out_h=dcfg.img_h, out_w=dcfg.img_w,
                          prob=dcfg.aug_prob,
@@ -236,8 +361,8 @@ def device_eval_batch(images_u8, masks_u8, dcfg: DataConfig, rng=None):
     transform for every loader flag). The rng is derived from a process-local
     counter when not supplied, keeping eval deterministic per run order.
     """
-    imgs = jnp.asarray(images_u8)
-    masks = jnp.asarray(masks_u8) if masks_u8 is not None else None
+    imgs = _stage(images_u8)
+    masks = _stage(masks_u8)
     if dcfg.reference_eval_aug:
         if rng is None:
             _EVAL_AUG_COUNTER[0] += 1

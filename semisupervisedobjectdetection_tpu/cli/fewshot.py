@@ -108,6 +108,7 @@ def main(argv=None):
                         "reference cannot resume (optimizer state is "
                         "never saved)")
     args = p.parse_args(argv)
+    common.warn_parallel_unsupported(args, 'fewshot')
     dcfg, tc = common.configs_from_args(args)
     if args.labeled_classified:
         dcfg = dcfg.replace(labeled_classified=args.labeled_classified,

@@ -173,6 +173,8 @@ def main(argv=None):
         }
         for lr in [float(x) for x in args.tune_lr.split(",")]:
             model = SegFormerModel(lr=lr, train_config=tc, config=cfg)
+            _, (model.state,) = common.setup_parallel(
+                args, (model.state,), cfg)
             loss = train_loop(model, sub, dcfg,
                               tc.replace(epochs=max(tc.epochs // 5, 1)),
                               args, logger, args.loss)
@@ -248,6 +250,7 @@ def main(argv=None):
               + (f"; dumped {dumped} mask overlays" if dumped else ""))
         return
 
+    _, (model.state,) = common.setup_parallel(args, (model.state,), cfg)
     with profile_trace(args.profile_dir):
         train_loop(model, loaders, dcfg, tc, args, logger, args.loss)
     logger.close()

@@ -61,6 +61,8 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
     train_mode = tc.reference_quirks
     (teacher, student, start_epoch, best_s, best_t,
      rng) = _try_resume(args, teacher, student, ckpt_s, ckpt_t, rng)
+    _, (teacher, student) = common.setup_parallel(
+        args, (teacher, student), cfg)
 
     if args.ema_mode:
         return _ema_train_loop(args, dcfg, tc, loaders, cfg, logger,

@@ -53,6 +53,7 @@ def main(argv=None):
                         "present (ignored under --tune: grid points must "
                         "not share one _last)")
     args = p.parse_args(argv)
+    common.warn_parallel_unsupported(args, 'transfer')
     if args.tune and args.resume:
         print("--resume is ignored under --tune (each grid point would "
               "otherwise restore the previous point's _last checkpoint)")

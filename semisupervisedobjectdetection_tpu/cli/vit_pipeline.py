@@ -52,6 +52,7 @@ def main(argv=None):
     size = (dcfg.img_h // args.patch_size) * args.patch_size
     dcfg = dcfg.replace(img_h=size, img_w=size)
     common.warn_perf_unsupported(args, 'vit_pipeline')
+    common.warn_parallel_unsupported(args, 'vit_pipeline')
     dcfg = common.ensure_data(args, dcfg,
                               need_unlabeled=args.mode != "seg")
     flags = ("train", "eval") if args.mode == "seg" else (
