@@ -85,7 +85,8 @@ class SegFormerModel:
                  config: Optional[MiTConfig] = None,
                  train_config: Optional[TrainConfig] = None,
                  hf_weights: Optional[str] = None,
-                 seed: int = 0):
+                 seed: int = 0,
+                 grad_accum: int = 1):
         tc = train_config or TrainConfig()
         if lr is not None:
             tc = tc.replace(lr=lr)
@@ -98,6 +99,9 @@ class SegFormerModel:
         self.num_labels = num_labels
         self.use_dice_loss = use_dice_loss
         self.seed = seed
+        # Microbatch count per update (train/supervised.py::train_step
+        # accum — one optimizer step over `grad_accum` scanned forwards).
+        self.grad_accum = max(1, int(grad_accum))
         self._frozen_stages: List[int] = []
         self._rng = jax.random.PRNGKey(seed)
         self._qvars = None           # int8 serving snapshot (see quantize)
@@ -298,7 +302,8 @@ class SegFormerModel:
         self.state, loss, pred = sup_steps.train_step(
             self.state, images, target, step_rng, self.cfg,
             loss_type=use_loss,
-            train_mode=not self.tc.reference_quirks)
+            train_mode=not self.tc.reference_quirks,
+            accum=self.grad_accum)
         pred_out = pred if lazy else np.asarray(pred)
         if output_cls_token:
             # CLS tokens of the last forward (separate pass; only used by

@@ -97,6 +97,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--tp", type=int, default=2,
                    help="tp-axis size for --parallel tp (must divide the "
                         "device count)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="gradient accumulation: split each batch into N "
+                        "microbatches scanned inside one jitted update "
+                        "(peak activation memory of one microbatch, one "
+                        "optimizer step) — train effective batches that "
+                        "do not fit HBM (supervised CLI)")
     p.add_argument("--ffn-impl", default=None,
                    choices=["xla", "collective"],
                    help="MixFFN dataflow override (MiTConfig.ffn_impl): "

@@ -172,7 +172,8 @@ def main(argv=None):
                 args.seed),
         }
         for lr in [float(x) for x in args.tune_lr.split(",")]:
-            model = SegFormerModel(lr=lr, train_config=tc, config=cfg)
+            model = SegFormerModel(lr=lr, train_config=tc, config=cfg,
+                                   grad_accum=args.grad_accum)
             _, (model.state,) = common.setup_parallel(
                 args, (model.state,), cfg)
             loss = train_loop(model, sub, dcfg,
@@ -186,7 +187,8 @@ def main(argv=None):
 
     model = SegFormerModel(pretrain_weight=args.pretrain_weight,
                            train_config=tc, config=cfg,
-                           hf_weights=args.hf_weights)
+                           hf_weights=args.hf_weights,
+                           grad_accum=args.grad_accum)
     if args.predict:
         if args.int8:
             import os as _os

@@ -1,0 +1,131 @@
+"""Gradient accumulation (`train/supervised.py::train_step(accum=N)`).
+
+The update with accum=N must equal a hand-accumulated update: mean of the
+N microbatch grads (same per-microbatch rng split), one optimizer step.
+No reference counterpart (the reference is single-GPU batch-bound); this
+is the standard TPU-side lever for effective batches that exceed HBM.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semisupervisedobjectdetection_tpu.core.config import (
+    TrainConfig,
+    mit_b0,
+)
+from semisupervisedobjectdetection_tpu.models.segformer import SegFormer
+from semisupervisedobjectdetection_tpu import losses
+from semisupervisedobjectdetection_tpu.train.common import forward_masks
+from semisupervisedobjectdetection_tpu.train.state import TrainState
+from semisupervisedobjectdetection_tpu.train.supervised import train_step
+
+TINY = mit_b0(depths=(1, 1, 1, 1), hidden_sizes=(8, 16, 32, 64),
+              num_heads=(1, 2, 4, 8), decoder_hidden=32)
+
+
+def _data(b=4, size=64, seed=0):
+    rng = np.random.default_rng(seed)
+    imgs = jnp.asarray(rng.uniform(0, 1, (b, size, size, 3)), jnp.float32)
+    masks = jnp.asarray(rng.uniform(0, 1, (b, size, size)) > 0.5,
+                        jnp.float32)
+    return imgs, masks
+
+
+def _fresh_state(variables, lr=1e-3):
+    return TrainState.create(jax.tree.map(jnp.copy, variables),
+                             TrainConfig(), lr=lr)
+
+
+def test_accum_matches_manual_mean_of_microbatch_grads():
+    imgs, masks = _data()
+    variables = jax.jit(SegFormer(TINY).init)(jax.random.PRNGKey(0),
+                                              imgs[:1])
+    rng = jax.random.PRNGKey(7)
+
+    # hand-accumulated oracle: mean of the two microbatch grads with the
+    # same split keys train_step uses internally
+    def loss_fn(params, im, mk, r):
+        pred, _, _ = forward_masks(
+            TINY, {"params": params,
+                   "batch_stats": variables["batch_stats"]},
+            im, train_mode=False, rng=r)
+        return losses.segmentation_loss(pred, mk, "dice")
+
+    keys = jax.random.split(rng, 2)
+    g0 = jax.jit(jax.grad(loss_fn))(variables["params"], imgs[:2],
+                                    masks[:2], keys[0])
+    g1 = jax.jit(jax.grad(loss_fn))(variables["params"], imgs[2:],
+                                    masks[2:], keys[1])
+    want = jax.tree.map(lambda a, b: (a + b) / 2.0, g0, g1)
+
+    oracle = _fresh_state(variables)
+    oracle = oracle.apply_gradients(want, jnp.zeros(()))
+
+    state = _fresh_state(variables)
+    state, loss, pred = train_step(state, imgs, masks, rng, TINY, accum=2)
+    assert pred.shape[0] == 4
+    assert np.isfinite(float(loss))
+
+    for (kp, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(oracle.params)[0],
+            jax.tree.leaves(state.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(kp)}")
+
+
+def test_accum_one_unchanged_and_divisibility_guard():
+    imgs, masks = _data()
+    variables = jax.jit(SegFormer(TINY).init)(jax.random.PRNGKey(0),
+                                              imgs[:1])
+    rng = jax.random.PRNGKey(3)
+    s1 = _fresh_state(variables)
+    s1, l1, _ = train_step(s1, imgs, masks, rng, TINY)
+    s2 = _fresh_state(variables)
+    s2, l2, _ = train_step(s2, imgs, masks, rng, TINY, accum=1)
+    assert float(l1) == float(l2)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    import pytest
+
+    s3 = _fresh_state(variables)
+    with pytest.raises(ValueError, match="not divisible"):
+        train_step(s3, imgs, masks, rng, TINY, accum=3)
+
+
+def test_accum_batchnorm_stats_thread_sequentially():
+    """train_mode=True: the decode-head BN stats must update through the
+    scan carry exactly as `accum` sequential forwards would."""
+    imgs, masks = _data()
+    variables = jax.jit(SegFormer(TINY).init)(jax.random.PRNGKey(0),
+                                              imgs[:1])
+    rng = jax.random.PRNGKey(5)
+    stats = variables["batch_stats"]
+    for half_i, half_m, key in zip((imgs[:2], imgs[2:]),
+                                   (masks[:2], masks[2:]),
+                                   jax.random.split(rng, 2)):
+        _, _, stats = forward_masks(
+            TINY, {"params": variables["params"], "batch_stats": stats},
+            half_i, train_mode=True, rng=key)
+
+    state = _fresh_state(variables)
+    state, _, _ = train_step(state, imgs, masks, rng, TINY,
+                             train_mode=True, accum=2)
+    for (kp, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(stats)[0],
+            jax.tree.leaves(state.batch_stats)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6,
+            err_msg=f"batch_stats mismatch at {jax.tree_util.keystr(kp)}")
+
+
+def test_accum_api_and_cli_flag(tmp_path):
+    """--grad-accum threads through SegFormerModel into the jitted step."""
+    from semisupervisedobjectdetection_tpu.api import SegFormerModel
+
+    imgs, masks = _data(b=4)
+    m = SegFormerModel(config=TINY, grad_accum=2)
+    loss, pred = m.train_one_epoch(np.asarray(imgs), np.asarray(masks))
+    assert np.isfinite(float(loss)) and pred.shape[0] == 4
