@@ -327,7 +327,8 @@ class SegFormerModel:
         images = jnp.asarray(_to_nhwc(imgs))
         self._rng, step_rng = jax.random.split(self._rng)
         self.state, loss, recon = ae_steps.ae_train_step(
-            self.state, images, step_rng, self.cfg)
+            self.state, images, step_rng, self.cfg,
+            accum=self.grad_accum)
         return loss, (recon if lazy else np.asarray(recon))
 
     def eval_one_epoch_without_mask(self, imgs, lazy: bool = False):

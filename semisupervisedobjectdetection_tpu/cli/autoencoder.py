@@ -40,7 +40,8 @@ def main(argv=None):
     cfg = MIT_VARIANTS[args.variant](num_labels=3, dtype=args.dtype)
     cfg = common.apply_perf_preset(cfg, args)
     model = SegFormerModel(pretrain_weight=args.pretrain_weight,
-                           num_labels=3, train_config=tc, config=cfg)
+                           num_labels=3, train_config=tc, config=cfg,
+                           grad_accum=args.grad_accum)
     logger = MetricLogger(args.metrics_csv)
     rng = jax.random.PRNGKey(args.seed)
     best = float("inf")

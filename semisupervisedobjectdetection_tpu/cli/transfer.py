@@ -27,7 +27,8 @@ def build_model(args, tc, cfg, frozen, tokens, same_per_layer=True,
                 lr=None):
     model = SegFormerModel(pretrain_weight=args.pretrain_weight,
                            train_config=tc, config=cfg, lr=lr,
-                           hf_weights=args.hf_weights)
+                           hf_weights=args.hf_weights,
+                           grad_accum=args.grad_accum)
     if frozen:
         model.frozen_encoder(layers=frozen)
     if any(tokens):

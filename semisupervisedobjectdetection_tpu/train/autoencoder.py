@@ -31,26 +31,63 @@ def _recon_loss(recon: Array, images: Array) -> Array:
     return losses.mse_loss(recon, images, divisor=b * 3)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",),
+@functools.partial(jax.jit, static_argnames=("cfg", "accum"),
                    donate_argnames=("state",))
-def ae_train_step(state: TrainState, images: Array, rng, cfg: MiTConfig
-                  ) -> Tuple[TrainState, Array, Array]:
+def ae_train_step(state: TrainState, images: Array, rng, cfg: MiTConfig,
+                  accum: int = 1) -> Tuple[TrainState, Array, Array]:
     """One reconstruction update (`SegFormerModel.train_one_epoch_without_
-    mask`, `:198-219`). Returns (state, loss, reconstruction)."""
+    mask`, `:198-219`). Returns (state, loss, reconstruction).
 
-    def loss_fn(params):
+    `accum > 1` = gradient accumulation, same semantics as
+    `train/supervised.py::train_step`: `accum` microbatches scanned inside
+    this one jitted step (one microbatch's activation memory), grads and
+    losses averaged, one optimizer update; BN stats thread sequentially
+    through the scan carry. Each microbatch keeps the FULL batch's
+    reference divisor (B*3, `models/Loss.py:48-52`), so — the MSE being
+    batch-linear under that fixed divisor — the accumulated loss and
+    grads equal the full-batch computation exactly (unlike dice, which is
+    batch-nonlinear)."""
+
+    full_divisor = images.shape[0] * 3
+
+    def loss_fn(params, stats, imgs, r):
         variables = {"params": params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
+        if stats:
+            variables["batch_stats"] = stats
         recon, _, new_stats = forward_masks(
-            cfg, variables, images, train_mode=True, rng=rng)
-        loss = _recon_loss(recon, images)
+            cfg, variables, imgs, train_mode=True, rng=r)
+        loss = losses.mse_loss(recon, imgs, divisor=full_divisor)
         return loss, (recon, new_stats)
 
-    (loss, (recon, new_stats)), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(state.params)
+    if accum <= 1:
+        (loss, (recon, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                   images, rng)
+    else:
+        b = images.shape[0]
+        if b % accum:
+            raise ValueError(f"batch {b} not divisible by accum={accum}")
+        mb = b // accum
+        xs = (images.reshape(accum, mb, *images.shape[1:]),
+              jax.random.split(rng, accum))
+
+        def body(carry, x):
+            stats, gsum, lsum = carry
+            imgs, r = x
+            (loss, (recon, new_stats)), g = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, stats, imgs, r)
+            stats = new_stats if new_stats is not None else stats
+            gsum = jax.tree.map(jnp.add, gsum, g)
+            return (stats, gsum, lsum + loss), recon
+
+        gzero = jax.tree.map(jnp.zeros_like, state.params)
+        (new_stats, gsum, lsum), recons = jax.lax.scan(
+            body, (state.batch_stats, gzero, jnp.zeros(())), xs)
+        grads = jax.tree.map(lambda g: g / accum, gsum)
+        loss = lsum / accum
+        recon = recons.reshape(b, *recons.shape[2:])
     state = state.apply_gradients(grads, loss)
-    if new_stats is not None:
+    if new_stats is not None and new_stats:
         state = state.replace(batch_stats=new_stats)
     return state, loss, recon
 

@@ -121,6 +121,69 @@ def test_accum_batchnorm_stats_thread_sequentially():
             err_msg=f"batch_stats mismatch at {jax.tree_util.keystr(kp)}")
 
 
+def test_ae_accum_matches_manual_sequential_oracle():
+    """Autoencoder accumulation (`train/autoencoder.py::ae_train_step`):
+    equals the hand-accumulated update — mean of the microbatch grads with
+    the FULL batch's reference MSE divisor (B*3) and BN stats threaded
+    sequentially (microbatch 2 normalizes with microbatch 1's updated
+    stats, exactly as the scan carry does)."""
+    from semisupervisedobjectdetection_tpu import losses as L
+    from semisupervisedobjectdetection_tpu.train.autoencoder import (
+        ae_train_step,
+    )
+
+    cfg3 = TINY.replace(num_labels=3)
+    imgs, _ = _data(b=4)
+    variables = jax.jit(SegFormer(cfg3).init)(jax.random.PRNGKey(0),
+                                              imgs[:1])
+    rng = jax.random.PRNGKey(11)
+    keys = jax.random.split(rng, 2)
+    full_div = imgs.shape[0] * 3
+
+    def loss_fn(params, stats, im, r):
+        recon, _, new_stats = forward_masks(
+            cfg3, {"params": params, "batch_stats": stats},
+            im, train_mode=True, rng=r)
+        return L.mse_loss(recon, im, divisor=full_div), new_stats
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    (l0, stats), g0 = grad_fn(variables["params"],
+                              variables["batch_stats"], imgs[:2], keys[0])
+    (l1, stats), g1 = grad_fn(variables["params"], stats, imgs[2:],
+                              keys[1])
+    want = jax.tree.map(lambda a, b: (a + b) / 2.0, g0, g1)
+    oracle = _fresh_state(variables)
+    oracle = oracle.apply_gradients(want, jnp.zeros(()))
+
+    state = _fresh_state(variables)
+    state, loss, recon = ae_train_step(state, imgs, rng, cfg3, accum=2)
+    assert recon.shape[0] == 4
+    np.testing.assert_allclose(float(loss), (float(l0) + float(l1)) / 2.0,
+                               rtol=1e-5, atol=1e-6)
+    # Compare params only where the oracle grad is above the fp noise
+    # floor: Adam's first step is ~sign(g), so a mathematically-zero grad
+    # (e.g. attention key bias — softmax is invariant to a per-query
+    # constant) flips sign on bf16 rounding noise and lands a full
+    # lr-scale apart between two compilations of the same math.
+    checked = 0
+    for (kp, a), b, g in zip(
+            jax.tree_util.tree_flatten_with_path(oracle.params)[0],
+            jax.tree.leaves(state.params),
+            jax.tree.leaves(want)):
+        sel = np.abs(np.asarray(g)) > 1e-6
+        checked += int(sel.sum())
+        np.testing.assert_allclose(
+            np.asarray(a)[sel], np.asarray(b)[sel], rtol=2e-5, atol=2e-6,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(kp)}")
+    assert checked > 1000  # the mask must not trivialize the comparison
+    for (kp, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(stats)[0],
+            jax.tree.leaves(state.batch_stats)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6,
+            err_msg=f"batch_stats mismatch at {jax.tree_util.keystr(kp)}")
+
+
 def test_accum_api_and_cli_flag(tmp_path):
     """--grad-accum threads through SegFormerModel into the jitted step."""
     from semisupervisedobjectdetection_tpu.api import SegFormerModel
