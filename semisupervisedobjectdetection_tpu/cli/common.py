@@ -103,7 +103,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "(peak activation memory of one microbatch, one "
                         "optimizer step) — train effective batches that "
                         "do not fit HBM (supervised/autoencoder/transfer "
-                        "CLIs; ignored by the multi-model loops)")
+                        "CLIs and the EMA loop; ignored by the "
+                        "two-gradient-model loops)")
     p.add_argument("--ffn-impl", default=None,
                    choices=["xla", "collective"],
                    help="MixFFN dataflow override (MiTConfig.ffn_impl): "

@@ -212,13 +212,15 @@ def _ema_train_loop(args, dcfg, tc, loaders, cfg, logger, *, teacher,
                     decay, cfg, qcfg,
                     denoise_label=not args.no_denoise,
                     threshold=threshold, train_mode=train_mode,
-                    rng=r3 if train_mode else None)
+                    rng=r3 if train_mode else None,
+                    accum=args.grad_accum)
             else:
                 out = ema_mod.ema_semi_step(
                     teacher, student, u_imgs, imgs, masks, sup_w, decay,
                     cfg, denoise_label=not args.no_denoise,
                     threshold=threshold, train_mode=train_mode,
-                    rng=r3 if train_mode else None)
+                    rng=r3 if train_mode else None,
+                    accum=args.grad_accum)
             teacher, student = out.teacher_state, out.student_state
             s_losses.append(out.student_loss_total)
             kept.append(out.n_kept)

@@ -83,7 +83,13 @@ def _ema_semi_impl(t_cfg: MiTConfig, t_vars: dict,
                    supervise_weight: Array, ema_decay: Array,
                    cfg: MiTConfig, denoise_label: bool, threshold: float,
                    confident_threshold: float, train_mode: bool,
-                   rng) -> EmaStepOut:
+                   rng, accum: int = 1) -> EmaStepOut:
+    if accum > 1:
+        return _ema_semi_accum(t_cfg, t_vars, teacher_state, student_state,
+                               unlabeled, images, ground_truth,
+                               supervise_weight, ema_decay, cfg,
+                               denoise_label, threshold,
+                               confident_threshold, train_mode, rng, accum)
     u_soft, l_soft = _teacher_soft_masks(t_cfg, t_vars, unlabeled, images)
 
     # Phase A: confidence-thresholded pseudo labels (ref `:24-56`). With the
@@ -123,10 +129,96 @@ def _ema_semi_impl(t_cfg: MiTConfig, t_vars: dict,
                       labels.loss, labels.n_kept, labels.pseudo_mask)
 
 
+def _ema_semi_accum(t_cfg: MiTConfig, t_vars: dict,
+                    teacher_state: TrainState, student_state: TrainState,
+                    unlabeled: Array, images: Array, ground_truth: Array,
+                    supervise_weight: Array, ema_decay: Array,
+                    cfg: MiTConfig, denoise_label: bool, threshold: float,
+                    confident_threshold: float, train_mode: bool,
+                    rng, accum: int) -> EmaStepOut:
+    """Gradient-accumulated EMA step: both batches split into `accum`
+    microbatch pairs scanned inside the one jitted step (peak activation
+    memory of a single pair — the lever for >512² tiles or big effective
+    batches), student grads and losses averaged, ONE optimizer update and
+    ONE EMA write. The phase-A pseudo metric aggregates exactly as the
+    full batch would (per-sample dice sums and kept counts are pooled
+    before the kept-count division); the student dice losses follow the
+    standard mean-of-microbatch accumulation semantics (dice is
+    batch-nonlinear). Only the student carries grads, as in the unfused
+    step."""
+    bu, bl = unlabeled.shape[0], images.shape[0]
+    if bu % accum or bl % accum:
+        raise ValueError(f"batches ({bu} unlabeled, {bl} labeled) not "
+                         f"divisible by accum={accum}")
+    mu, ml = bu // accum, bl // accum
+    use_rng = rng is not None
+    keys = (jax.random.split(rng, accum) if use_rng
+            else jnp.zeros((accum,), jnp.uint32))
+    xs = (unlabeled.reshape(accum, mu, *unlabeled.shape[1:]),
+          images.reshape(accum, ml, *images.shape[1:]),
+          ground_truth.reshape(accum, ml, *ground_truth.shape[1:]),
+          keys)
+
+    def body(carry, x):
+        stats, gsum, tot, sup_s, self_s, p_sum, kept = carry
+        u_mb, i_mb, g_mb, k = x
+        u_soft, l_soft = _teacher_soft_masks(t_cfg, t_vars, u_mb, i_mb)
+        labels = pseudo.threshold_pseudo_masks(
+            u_soft, threshold, confident_threshold,
+            allow_throw_sample=True)
+        if denoise_label:
+            teacher_mask = pseudo.denoise_labels(l_soft, g_mb, threshold)
+        else:
+            teacher_mask = l_soft
+
+        def student_loss_fn(params):
+            v = {"params": params}
+            if stats:
+                v["batch_stats"] = stats
+            pred, _, s_stats = forward_masks(
+                cfg, v, i_mb, train_mode=train_mode,
+                rng=k if use_rng else None)
+            sup = losses.dice_loss(pred, g_mb)
+            self_sup = losses.dice_loss(pred, teacher_mask)
+            total = (supervise_weight * sup
+                     + (1.0 - supervise_weight) * self_sup)
+            return total, (sup, self_sup, s_stats)
+
+        (total, (sup, self_sup, s_stats)), g = jax.value_and_grad(
+            student_loss_fn, has_aux=True)(student_state.params)
+        stats = s_stats if s_stats is not None else stats
+        gsum = jax.tree.map(jnp.add, gsum, g)
+        # pooled pseudo stats: undo the per-microbatch kept division (the
+        # NaN convention re-applies on the pooled count after the scan)
+        p_sum = p_sum + jnp.where(labels.n_kept > 0,
+                                  labels.loss * labels.n_kept, 0.0)
+        return (stats, gsum, tot + total, sup_s + sup,
+                self_s + self_sup, p_sum, kept + labels.n_kept
+                ), labels.pseudo_mask
+
+    gzero = jax.tree.map(jnp.zeros_like, student_state.params)
+    z = jnp.zeros(())
+    (s_stats, gsum, tot, sup_s, self_s, p_sum, n_kept), p_masks = (
+        jax.lax.scan(body, (student_state.batch_stats, gzero,
+                            z, z, z, z, z), xs))
+    grads = jax.tree.map(lambda g: g / accum, gsum)
+    total, sup, self_sup = tot / accum, sup_s / accum, self_s / accum
+    pseudo_loss = jnp.where(n_kept > 0,
+                            p_sum / jnp.maximum(n_kept, 1.0), jnp.nan)
+    pseudo_mask = p_masks.reshape(bu, *p_masks.shape[2:])
+
+    student_state = student_state.apply_gradients(grads, total)
+    if train_mode and s_stats:
+        student_state = student_state.replace(batch_stats=s_stats)
+    teacher_state = ema_update(teacher_state, student_state, ema_decay)
+    return EmaStepOut(teacher_state, student_state, total, sup, self_sup,
+                      pseudo_loss, n_kept, pseudo_mask)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "denoise_label",
                                              "threshold",
                                              "confident_threshold",
-                                             "train_mode"),
+                                             "train_mode", "accum"),
                    donate_argnames=("teacher_state", "student_state"))
 def ema_semi_step(teacher_state: TrainState, student_state: TrainState,
                   unlabeled: Array, images: Array, ground_truth: Array,
@@ -135,24 +227,27 @@ def ema_semi_step(teacher_state: TrainState, student_state: TrainState,
                   threshold: float = pseudo.PSEUDO_MASK_THRESHOLD,
                   confident_threshold: float = pseudo.CONFIDENT_THRESHOLD,
                   train_mode: bool = False,
-                  rng: Optional[Array] = None) -> EmaStepOut:
+                  rng: Optional[Array] = None,
+                  accum: int = 1) -> EmaStepOut:
     """One fused EMA semi-supervised step: teacher no-grad forward on the
     unlabeled+labeled batches, pseudo thresholding + denoising, student
     forward/backward/update, then `teacher <- decay*teacher +
-    (1-decay)*student` on params and batch_stats."""
+    (1-decay)*student` on params and batch_stats. `accum > 1` scans
+    microbatch pairs for gradient accumulation (see `_ema_semi_accum`)."""
     t_vars = {"params": teacher_state.params}
     if teacher_state.batch_stats:
         t_vars["batch_stats"] = teacher_state.batch_stats
     return _ema_semi_impl(cfg, t_vars, teacher_state, student_state,
                           unlabeled, images, ground_truth,
                           supervise_weight, ema_decay, cfg, denoise_label,
-                          threshold, confident_threshold, train_mode, rng)
+                          threshold, confident_threshold, train_mode, rng,
+                          accum)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "qcfg", "denoise_label",
                                              "threshold",
                                              "confident_threshold",
-                                             "train_mode"),
+                                             "train_mode", "accum"),
                    donate_argnames=("teacher_state", "student_state"))
 def ema_semi_step_int8(teacher_qvars: dict, teacher_state: TrainState,
                        student_state: TrainState, unlabeled: Array,
@@ -164,7 +259,8 @@ def ema_semi_step_int8(teacher_qvars: dict, teacher_state: TrainState,
                        confident_threshold: float =
                        pseudo.CONFIDENT_THRESHOLD,
                        train_mode: bool = False,
-                       rng: Optional[Array] = None) -> EmaStepOut:
+                       rng: Optional[Array] = None,
+                       accum: int = 1) -> EmaStepOut:
     """`ema_semi_step` with the teacher forward running int8 (serving path).
 
     `teacher_qvars` is a per-epoch snapshot from
@@ -173,7 +269,8 @@ def ema_semi_step_int8(teacher_qvars: dict, teacher_state: TrainState,
     return _ema_semi_impl(qcfg, teacher_qvars, teacher_state, student_state,
                           unlabeled, images, ground_truth,
                           supervise_weight, ema_decay, cfg, denoise_label,
-                          threshold, confident_threshold, train_mode, rng)
+                          threshold, confident_threshold, train_mode, rng,
+                          accum)
 
 
 def make_teacher_int8_snapshot(teacher_state: TrainState,

@@ -184,6 +184,92 @@ def test_ae_accum_matches_manual_sequential_oracle():
             err_msg=f"batch_stats mismatch at {jax.tree_util.keystr(kp)}")
 
 
+def test_ema_accum_pseudo_stats_and_student_update():
+    """EMA-step accumulation (`train/ema.py::_ema_semi_accum`):
+
+    - phase-A pseudo stats pool exactly (per-sample dice sums and kept
+      counts are batch-independent): n_kept and pseudo_loss match the
+      accum=1 step, pseudo_mask shape is the full unlabeled batch;
+    - the student update equals the hand-accumulated oracle (mean of the
+      per-microbatch grads, each with its own microbatch teacher mask),
+      compared above the grad noise floor (see the AE test for why).
+    """
+    from semisupervisedobjectdetection_tpu.train.ema import (
+        _teacher_soft_masks,
+        ema_semi_step,
+    )
+    from semisupervisedobjectdetection_tpu.train import pseudo as P
+
+    imgs, masks = _data(b=4)
+    u_imgs, _ = _data(b=4, seed=3)
+    variables = jax.jit(SegFormer(TINY).init)(jax.random.PRNGKey(0),
+                                              imgs[:1])
+    sup_w = jnp.asarray(0.8)
+    decay = jnp.asarray(0.99)
+
+    def fresh_pair():
+        return (_fresh_state(variables), _fresh_state(variables))
+
+    t1, s1 = fresh_pair()
+    out1 = ema_semi_step(t1, s1, u_imgs, imgs, masks, sup_w, decay, TINY)
+    t2, s2 = fresh_pair()
+    out2 = ema_semi_step(t2, s2, u_imgs, imgs, masks, sup_w, decay, TINY,
+                         accum=2)
+
+    assert out2.pseudo_mask.shape == out1.pseudo_mask.shape
+    np.testing.assert_allclose(float(out2.n_kept), float(out1.n_kept))
+    if np.isfinite(float(out1.pseudo_loss)):
+        np.testing.assert_allclose(float(out2.pseudo_loss),
+                                   float(out1.pseudo_loss),
+                                   rtol=1e-4, atol=1e-6)
+
+    # hand-accumulated student oracle (train_mode=False: deterministic)
+    t_vars = {"params": variables["params"],
+              "batch_stats": variables["batch_stats"]}
+
+    def micro_grad(u_mb, i_mb, g_mb):
+        _, l_soft = _teacher_soft_masks(TINY, t_vars, u_mb, i_mb)
+        tm = P.denoise_labels(l_soft, g_mb)
+
+        def loss_fn(params):
+            pred, _, _ = forward_masks(
+                TINY, {"params": params,
+                       "batch_stats": variables["batch_stats"]},
+                i_mb, train_mode=False)
+            return (sup_w * losses.dice_loss(pred, g_mb)
+                    + (1.0 - sup_w) * losses.dice_loss(pred, tm))
+
+        return jax.jit(jax.grad(loss_fn))(variables["params"])
+
+    g0 = micro_grad(u_imgs[:2], imgs[:2], masks[:2])
+    g1 = micro_grad(u_imgs[2:], imgs[2:], masks[2:])
+    want = jax.tree.map(lambda a, b: (a + b) / 2.0, g0, g1)
+    oracle = _fresh_state(variables)
+    oracle = oracle.apply_gradients(want, jnp.zeros(()))
+
+    checked = 0
+    for (kp, a), b, g in zip(
+            jax.tree_util.tree_flatten_with_path(oracle.params)[0],
+            jax.tree.leaves(out2.student_state.params),
+            jax.tree.leaves(want)):
+        sel = np.abs(np.asarray(g)) > 1e-6
+        checked += int(sel.sum())
+        np.testing.assert_allclose(
+            np.asarray(a)[sel], np.asarray(b)[sel], rtol=2e-5, atol=2e-6,
+            err_msg=f"student param mismatch at {jax.tree_util.keystr(kp)}")
+    assert checked > 1000
+
+    # the EMA write composes the (verified) student update with decay
+    for (kp, t0), tv, sv in zip(
+            jax.tree_util.tree_flatten_with_path(variables["params"])[0],
+            jax.tree.leaves(out2.teacher_state.params),
+            jax.tree.leaves(out2.student_state.params)):
+        wantt = 0.99 * np.asarray(t0) + 0.01 * np.asarray(sv)
+        np.testing.assert_allclose(
+            np.asarray(tv), wantt, rtol=1e-5, atol=1e-7,
+            err_msg=f"teacher EMA mismatch at {jax.tree_util.keystr(kp)}")
+
+
 def test_accum_api_and_cli_flag(tmp_path):
     """--grad-accum threads through SegFormerModel into the jitted step."""
     from semisupervisedobjectdetection_tpu.api import SegFormerModel
