@@ -145,6 +145,79 @@ def test_per_layer_prompt_tokens_match_reference_oracle():
     _diff_logits(ref, fm, variables, x)
 
 
+def test_gradients_match_reference_oracle():
+    """BACKWARD parity vs the reference's own modified torch model: forward
+    logit parity cannot catch backward-path semantic bugs (a stray
+    stop_gradient, a wrong custom VJP, grads not flowing through the
+    prompt-aware SR reduction). Loss = mean(W * logits) for a fixed random
+    W — linear in the logits, so it isolates the MODEL backward from any
+    loss-implementation difference — and every parameter gradient is
+    compared through the same hf_import name mapping the weights use.
+    Prompt-token leaves are excluded (the reference's tokens are raw
+    non-parameter tensors outside autograd, `SegFormerModel.py:69-91`)."""
+    import torch
+
+    from semisupervisedobjectdetection_tpu.checkpoint.hf_import import (
+        import_torch_state_dict,
+    )
+
+    cfg = MiTConfig(depths=(2, 2, 2, 2), prompt_tokens=(4, 4, 4, 4),
+                    prompt_per_layer=False, **TINY)
+    ref, fm, variables = _build_pair(cfg, prompt=(4, 4, 4, 4))
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    out, _ = ref(torch.tensor(x))
+    w = rng.normal(size=out.logits.shape).astype(np.float32)
+    (torch.tensor(w) * out.logits).mean().backward()
+
+    # route the torch grads through the SAME tensor-name mapping as the
+    # weights: a state_dict whose parameter entries are their grads
+    gsd = dict(ref.state_dict())
+    for name, p in ref.named_parameters():
+        gsd[name] = (p.grad if p.grad is not None
+                     else torch.zeros_like(p)).detach()
+    want_grads, _ = import_torch_state_dict(
+        gsd, cfg, variables["params"], variables["batch_stats"])
+
+    w_nhwc = jnp.asarray(w.transpose(0, 2, 3, 1))
+
+    def loss_fn(params):
+        logits, _ = fm.apply({"params": params,
+                              "batch_stats": variables["batch_stats"]},
+                             jnp.asarray(x.transpose(0, 2, 3, 1)))
+        return jnp.mean(w_nhwc * logits.astype(jnp.float32))
+
+    got_grads = jax.jit(jax.grad(loss_fn))(variables["params"])
+
+    flat_want = [(jax.tree_util.keystr(kp), np.asarray(v, np.float32))
+                 for kp, v in
+                 jax.tree_util.tree_flatten_with_path(want_grads)[0]]
+    # GLOBAL noise floor: mathematically-zero grads (e.g. attention key
+    # bias — softmax is invariant to a per-query constant) are pure
+    # accumulation noise (~1e-15) on BOTH sides; a per-leaf floor would
+    # still select them, so scale to the whole gradient instead.
+    gmax = max(float(np.max(np.abs(a))) for k, a in flat_want
+               if "prompt_tokens" not in k and "cls_token" not in k)
+    gfloor = 1e-4 * gmax
+    checked = 0
+    for (key, a), got in zip(flat_want, jax.tree.leaves(got_grads)):
+        if "prompt_tokens" in key or "cls_token" in key:
+            continue  # torch side: non-parameter tensors, no autograd
+        b = np.asarray(got, np.float32)
+        sel = np.abs(a) > gfloor
+        checked += int(sel.sum())
+        np.testing.assert_allclose(
+            a[sel], b[sel], rtol=2e-2, atol=2.0 * gfloor,
+            err_msg=f"grad mismatch at {key}")
+        if float(np.max(np.abs(a), initial=0.0)) > gfloor:
+            # the leaf's overall scale must agree (catches a dead branch)
+            np.testing.assert_allclose(
+                float(np.linalg.norm(a)), float(np.linalg.norm(b)),
+                rtol=2e-2, atol=2.0 * gfloor,
+                err_msg=f"grad norm mismatch at {key}")
+    assert checked > 1000
+
+
 def test_cls_and_prompts_match_reference_oracle_at_b5_dims():
     """Carried CLS (`:444-465`) + decode-head CLS injection (`:711-724`)
     need hidden_sizes[-1]==512 (the reference hardcodes cls_dim=512), so
