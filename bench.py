@@ -123,17 +123,20 @@ def main() -> None:
                      scan_unroll=unroll)
         size = args.size or 512
         if args.mode == "ema" and not args.batch:
-            # Auto point for the flagship: effective batch 32 as TWO
-            # scanned microbatches of the measured-optimal 16 — the
-            # once-per-update optimizer+EMA work amortizes across the
-            # scan (measured 120.5 img/s vs 116.6 plain B16; accum 4 at
-            # B64 gives 122.0 — diminishing, and effective batch 64 is
-            # an unrealistic training config for the 50-epoch loop).
-            batch = 32
+            # Auto point for the flagship: effective batch = microbatches
+            # of the measured-optimal 16 — the once-per-update
+            # optimizer+EMA work amortizes across the scan (measured
+            # 120.5 img/s at accum 2 vs 116.6 plain B16; accum 4 gives
+            # 122.0 — diminishing, and effective batch 64 is an
+            # unrealistic training config for the 50-epoch loop).
             if args.grad_accum == 1:
                 args.grad_accum = 2
+            batch = 16 * args.grad_accum
         else:
             batch = args.batch or 16   # two-grad-model B=32 OOMs
+            if batch % args.grad_accum:
+                sys.exit(f"--batch {batch} not divisible by "
+                         f"--grad-accum {args.grad_accum}")
         iters = args.iters
 
     tc = TrainConfig()

@@ -37,6 +37,8 @@ def main(argv=None):
     dcfg = common.ensure_data(args, dcfg, need_unlabeled=True)
     loaders = common.make_loaders(dcfg, args.seed,
                                   flags=("train", "eval", "unlabeled"))
+    common.check_grad_accum(args, loaders["train"])
+    common.check_grad_accum(args, loaders["unlabeled"])
     cfg = MIT_VARIANTS[args.variant](num_labels=3, dtype=args.dtype)
     cfg = common.apply_perf_preset(cfg, args)
     model = SegFormerModel(pretrain_weight=args.pretrain_weight,

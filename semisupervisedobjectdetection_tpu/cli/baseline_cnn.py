@@ -49,6 +49,7 @@ def main(argv=None):
                         "cannot resume (optimizer state is never saved)")
     args = p.parse_args(argv)
     dcfg, tc = common.configs_from_args(args)
+    common.warn_grad_accum_ignored(args, "CNN baseline loop")
     dcfg = common.ensure_data(args, dcfg)
     common.warn_perf_unsupported(args, 'baseline_cnn')
     common.warn_parallel_unsupported(args, 'baseline_cnn')

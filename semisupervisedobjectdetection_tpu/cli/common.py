@@ -295,6 +295,44 @@ def ensure_data(args, dcfg: DataConfig, need_unlabeled: bool = False
     return dcfg.replace(**upd)
 
 
+def check_grad_accum(args, train_loader) -> None:
+    """Fail fast on a --grad-accum that cannot divide the train batches.
+
+    The jitted steps raise ValueError mid-trace on a non-divisible batch —
+    after checkpoint load and a potentially multi-minute B5 compile.
+    Three ways a bad batch reaches the step: --batch-size is not a
+    multiple of --grad-accum; the tiny-dataset clamp in `make_loaders`
+    shrank the batch below the requested size; or drop_last=False leaves
+    a partial final batch."""
+    accum = getattr(args, "grad_accum", 1)
+    if accum <= 1 or train_loader is None:
+        return
+    bs = train_loader.batch_size
+    if bs % accum:
+        raise SystemExit(
+            f"--grad-accum {accum} does not divide the effective train "
+            f"batch {bs} (a --batch-size smaller than the dataset may "
+            f"have been clamped to the dataset size); use a divisor of "
+            f"the effective batch")
+    if (not train_loader.drop_last
+            and getattr(train_loader, "num_shards", 1) == 1
+            and len(train_loader.dataset) % bs):
+        raise SystemExit(
+            f"--grad-accum {accum} with drop_last=False would hit a "
+            f"partial final batch of "
+            f"{len(train_loader.dataset) % bs}; enable drop_last")
+
+
+def warn_grad_accum_ignored(args, loop_name: str) -> None:
+    """--grad-accum is in the shared parser but only the single-gradient-
+    model steps implement it; say so loudly instead of silently training
+    at full batch memory (the flag's usual motivation is escaping OOM)."""
+    if getattr(args, "grad_accum", 1) > 1:
+        print(f"WARNING: --grad-accum is not implemented for the "
+              f"{loop_name} and is ignored (it applies to the "
+              f"supervised/autoencoder/transfer CLIs and the EMA loop)")
+
+
 def make_loaders(dcfg: DataConfig, seed: int = 0,
                  flags=("train", "eval")) -> dict:
     out = {}

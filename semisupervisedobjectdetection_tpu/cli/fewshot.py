@@ -110,6 +110,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     common.warn_parallel_unsupported(args, 'fewshot')
     dcfg, tc = common.configs_from_args(args)
+    common.warn_grad_accum_ignored(args, "few-shot domain-prompting loops")
     if args.labeled_classified:
         dcfg = dcfg.replace(labeled_classified=args.labeled_classified,
                             unlabeled_classified=args.unlabeled_classified)

@@ -152,6 +152,8 @@ def main(argv=None):
     else:
         dcfg = common.ensure_data(args, dcfg)
         loaders = common.make_loaders(dcfg, args.seed)
+        if not args.predict:
+            common.check_grad_accum(args, loaders["train"])
     cfg = MIT_VARIANTS[args.variant](dtype=args.dtype)
     cfg = common.apply_perf_preset(cfg, args)
     logger = MetricLogger(args.metrics_csv)
@@ -171,6 +173,7 @@ def main(argv=None):
                 va, min(dcfg.batch_size, max(len(va), 1)), dcfg,
                 args.seed),
         }
+        common.check_grad_accum(args, sub["train"])
         for lr in [float(x) for x in args.tune_lr.split(",")]:
             model = SegFormerModel(lr=lr, train_config=tc, config=cfg,
                                    grad_accum=args.grad_accum)

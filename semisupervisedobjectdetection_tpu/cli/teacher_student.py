@@ -340,6 +340,14 @@ def main(argv=None):
     dcfg = common.ensure_data(args, dcfg, need_unlabeled=True)
     loaders = common.make_loaders(dcfg, args.seed,
                                   flags=("train", "eval", "pseudo"))
+    if args.ema_mode:
+        # the EMA step microbatches BOTH halves of the (unlabeled,
+        # labeled) pair — validate each loader's effective batch
+        common.check_grad_accum(args, loaders["train"])
+        common.check_grad_accum(args, loaders["pseudo"])
+    else:
+        common.warn_grad_accum_ignored(
+            args, "two-gradient-model teacher-student loop")
     cfg = MIT_VARIANTS[args.variant](dtype=args.dtype)
     cfg = common.apply_perf_preset(cfg, args)
     logger = MetricLogger(args.metrics_csv)

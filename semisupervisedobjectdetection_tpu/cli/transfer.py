@@ -62,6 +62,7 @@ def main(argv=None):
     dcfg, tc = common.configs_from_args(args)
     dcfg = common.ensure_data(args, dcfg)
     loaders = common.make_loaders(dcfg, args.seed)
+    common.check_grad_accum(args, loaders["train"])
     cfg = MIT_VARIANTS[args.variant](dtype=args.dtype)
     cfg = common.apply_perf_preset(cfg, args)
     logger = MetricLogger(args.metrics_csv)

@@ -48,6 +48,7 @@ def main(argv=None):
                         "never saved)")
     args = p.parse_args(argv)
     dcfg, tc = common.configs_from_args(args)
+    common.warn_grad_accum_ignored(args, "ViT pipeline steps")
     # ViT needs img size divisible by the patch size
     size = (dcfg.img_h // args.patch_size) * args.patch_size
     dcfg = dcfg.replace(img_h=size, img_w=size)

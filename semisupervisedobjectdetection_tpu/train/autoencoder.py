@@ -18,7 +18,10 @@ import jax.numpy as jnp
 
 from semisupervisedobjectdetection_tpu.core.config import MiTConfig
 from semisupervisedobjectdetection_tpu import losses
-from semisupervisedobjectdetection_tpu.train.common import forward_masks
+from semisupervisedobjectdetection_tpu.train.common import (
+    accumulate_microbatches,
+    forward_masks,
+)
 from semisupervisedobjectdetection_tpu.train.state import TrainState
 
 Array = jax.Array
@@ -71,18 +74,13 @@ def ae_train_step(state: TrainState, images: Array, rng, cfg: MiTConfig,
         xs = (images.reshape(accum, mb, *images.shape[1:]),
               jax.random.split(rng, accum))
 
-        def body(carry, x):
-            stats, gsum, lsum = carry
-            imgs, r = x
+        def micro(stats, imgs, r):
             (loss, (recon, new_stats)), g = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, stats, imgs, r)
-            stats = new_stats if new_stats is not None else stats
-            gsum = jax.tree.map(jnp.add, gsum, g)
-            return (stats, gsum, lsum + loss), recon
+            return g, new_stats, loss, recon
 
-        gzero = jax.tree.map(jnp.zeros_like, state.params)
-        (new_stats, gsum, lsum), recons = jax.lax.scan(
-            body, (state.batch_stats, gzero, jnp.zeros(())), xs)
+        gsum, new_stats, lsum, recons = accumulate_microbatches(
+            micro, state.params, state.batch_stats, jnp.zeros(()), xs)
         grads = jax.tree.map(lambda g: g / accum, gsum)
         loss = lsum / accum
         recon = recons.reshape(b, *recons.shape[2:])

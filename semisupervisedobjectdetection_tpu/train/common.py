@@ -47,6 +47,38 @@ def forward_masks(cfg: MiTConfig, variables: dict, images: Array, *,
     return masks, cls_list, new_stats
 
 
+def accumulate_microbatches(micro_fn, params, init_stats, sums_zero, xs):
+    """Gradient-accumulation scan shared by the supervised, autoencoder
+    and EMA train steps.
+
+    Runs ``micro_fn(stats, *x) -> (grads, new_stats, sums, out)`` over the
+    leading (microbatch) axis of ``xs`` inside one `lax.scan` — so peak
+    activation memory is a single microbatch's — summing ``grads`` (tree
+    of ``params``' structure) and ``sums`` (any scalar pytree, structure
+    of ``sums_zero``), threading BatchNorm stats through the carry exactly
+    as sequential forwards would (``new_stats=None`` keeps the carried
+    stats), and stacking ``out`` along the scan axis.
+
+    Returns ``(summed_grads, final_stats, summed_sums, stacked_out)``.
+    Callers divide by the microbatch count for means (the EMA step's
+    kept-counts stay true sums) and reshape the stacked outputs. No
+    reference counterpart (the reference is single-GPU batch-bound).
+    """
+
+    def body(carry, x):
+        stats, gsum, ssum = carry
+        grads, new_stats, sums, out = micro_fn(stats, *x)
+        stats = new_stats if new_stats is not None else stats
+        gsum = jax.tree.map(jnp.add, gsum, grads)
+        ssum = jax.tree.map(jnp.add, ssum, sums)
+        return (stats, gsum, ssum), out
+
+    gzero = jax.tree.map(jnp.zeros_like, params)
+    (stats, gsum, ssum), outs = jax.lax.scan(
+        body, (init_stats, gzero, sums_zero), xs)
+    return gsum, stats, ssum, outs
+
+
 def forward_logits(cfg: MiTConfig, variables: dict, images: Array, *,
                    train_mode: bool = False, rng=None):
     """Run the model and return raw upsampled logits (pre-sigmoid), used by

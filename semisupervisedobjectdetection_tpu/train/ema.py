@@ -43,7 +43,10 @@ import jax.numpy as jnp
 from semisupervisedobjectdetection_tpu.core.config import MiTConfig
 from semisupervisedobjectdetection_tpu import losses
 from semisupervisedobjectdetection_tpu.train import pseudo
-from semisupervisedobjectdetection_tpu.train.common import forward_masks
+from semisupervisedobjectdetection_tpu.train.common import (
+    accumulate_microbatches,
+    forward_masks,
+)
 from semisupervisedobjectdetection_tpu.train.state import TrainState
 from semisupervisedobjectdetection_tpu.train.teacher_student import (
     ema_update,
@@ -159,9 +162,7 @@ def _ema_semi_accum(t_cfg: MiTConfig, t_vars: dict,
           ground_truth.reshape(accum, ml, *ground_truth.shape[1:]),
           keys)
 
-    def body(carry, x):
-        stats, gsum, tot, sup_s, self_s, p_sum, kept = carry
-        u_mb, i_mb, g_mb, k = x
+    def micro(stats, u_mb, i_mb, g_mb, k):
         u_soft, l_soft = _teacher_soft_masks(t_cfg, t_vars, u_mb, i_mb)
         labels = pseudo.threshold_pseudo_masks(
             u_soft, threshold, confident_threshold,
@@ -186,25 +187,27 @@ def _ema_semi_accum(t_cfg: MiTConfig, t_vars: dict,
 
         (total, (sup, self_sup, s_stats)), g = jax.value_and_grad(
             student_loss_fn, has_aux=True)(student_state.params)
-        stats = s_stats if s_stats is not None else stats
-        gsum = jax.tree.map(jnp.add, gsum, g)
-        # pooled pseudo stats: undo the per-microbatch kept division (the
-        # NaN convention re-applies on the pooled count after the scan)
-        p_sum = p_sum + jnp.where(labels.n_kept > 0,
-                                  labels.loss * labels.n_kept, 0.0)
-        return (stats, gsum, tot + total, sup_s + sup,
-                self_s + self_sup, p_sum, kept + labels.n_kept
-                ), labels.pseudo_mask
+        sums = dict(
+            total=total, sup=sup, self_sup=self_sup,
+            # pooled pseudo stats: undo the per-microbatch kept division
+            # (the NaN convention re-applies on the pooled count below)
+            p_sum=jnp.where(labels.n_kept > 0,
+                            labels.loss * labels.n_kept, 0.0),
+            kept=labels.n_kept)
+        return g, s_stats, sums, labels.pseudo_mask
 
-    gzero = jax.tree.map(jnp.zeros_like, student_state.params)
     z = jnp.zeros(())
-    (s_stats, gsum, tot, sup_s, self_s, p_sum, n_kept), p_masks = (
-        jax.lax.scan(body, (student_state.batch_stats, gzero,
-                            z, z, z, z, z), xs))
+    sums_zero = dict(total=z, sup=z, self_sup=z, p_sum=z, kept=z)
+    gsum, s_stats, sums, p_masks = accumulate_microbatches(
+        micro, student_state.params, student_state.batch_stats,
+        sums_zero, xs)
     grads = jax.tree.map(lambda g: g / accum, gsum)
-    total, sup, self_sup = tot / accum, sup_s / accum, self_s / accum
+    total, sup, self_sup = (sums["total"] / accum, sums["sup"] / accum,
+                            sums["self_sup"] / accum)
+    n_kept = sums["kept"]
     pseudo_loss = jnp.where(n_kept > 0,
-                            p_sum / jnp.maximum(n_kept, 1.0), jnp.nan)
+                            sums["p_sum"] / jnp.maximum(n_kept, 1.0),
+                            jnp.nan)
     pseudo_mask = p_masks.reshape(bu, *p_masks.shape[2:])
 
     student_state = student_state.apply_gradients(grads, total)

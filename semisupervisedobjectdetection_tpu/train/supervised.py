@@ -19,7 +19,10 @@ import jax.numpy as jnp
 
 from semisupervisedobjectdetection_tpu.core.config import MiTConfig
 from semisupervisedobjectdetection_tpu import losses
-from semisupervisedobjectdetection_tpu.train.common import forward_masks
+from semisupervisedobjectdetection_tpu.train.common import (
+    accumulate_microbatches,
+    forward_masks,
+)
 from semisupervisedobjectdetection_tpu.train.state import TrainState
 
 Array = jax.Array
@@ -72,18 +75,13 @@ def train_step(state: TrainState, images: Array, masks: Array, rng,
               masks.reshape(accum, mb, *masks.shape[1:]),
               jax.random.split(rng, accum))
 
-        def body(carry, x):
-            stats, gsum, lsum = carry
-            imgs, msks, r = x
+        def micro(stats, imgs, msks, r):
             (loss, (pred, new_stats)), g = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, stats, imgs, msks, r)
-            stats = new_stats if new_stats is not None else stats
-            gsum = jax.tree.map(jnp.add, gsum, g)
-            return (stats, gsum, lsum + loss), pred
+            return g, new_stats, loss, pred
 
-        gzero = jax.tree.map(jnp.zeros_like, state.params)
-        (new_stats, gsum, lsum), preds = jax.lax.scan(
-            body, (state.batch_stats, gzero, jnp.zeros(())), xs)
+        gsum, new_stats, lsum, preds = accumulate_microbatches(
+            micro, state.params, state.batch_stats, jnp.zeros(()), xs)
         grads = jax.tree.map(lambda g: g / accum, gsum)
         loss = lsum / accum
         pred = preds.reshape(b, *preds.shape[2:])

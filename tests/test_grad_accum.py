@@ -270,6 +270,33 @@ def test_ema_accum_pseudo_stats_and_student_update():
             err_msg=f"teacher EMA mismatch at {jax.tree_util.keystr(kp)}")
 
 
+def test_cli_grad_accum_fail_fast():
+    """`cli.common.check_grad_accum`: a --grad-accum that cannot divide
+    the effective train batch must die at startup with a clear message,
+    not as a ValueError mid-trace after a multi-minute B5 compile (the
+    tiny-dataset clamp in make_loaders can shrink the batch below the
+    requested --batch-size)."""
+    import types
+
+    import pytest
+
+    from semisupervisedobjectdetection_tpu.cli import common as c
+
+    def loader(bs, drop_last=True, n=None):
+        return types.SimpleNamespace(batch_size=bs, drop_last=drop_last,
+                                     num_shards=1,
+                                     dataset=list(range(n or bs)))
+
+    args = types.SimpleNamespace(grad_accum=2)
+    with pytest.raises(SystemExit, match="does not divide"):
+        c.check_grad_accum(args, loader(3))
+    with pytest.raises(SystemExit, match="partial final batch"):
+        c.check_grad_accum(args, loader(4, drop_last=False, n=6))
+    c.check_grad_accum(args, loader(4, n=8))           # divisible: ok
+    c.check_grad_accum(types.SimpleNamespace(grad_accum=1), loader(3))
+    c.check_grad_accum(args, None)                     # predict mode: ok
+
+
 def test_accum_api_and_cli_flag(tmp_path):
     """--grad-accum threads through SegFormerModel into the jitted step."""
     from semisupervisedobjectdetection_tpu.api import SegFormerModel
