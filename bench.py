@@ -178,7 +178,7 @@ def main() -> None:
             times.append((time.time() - t0) / 8)
         step_s = float(np.median(times))
         print(json.dumps({
-            "metric": "int8 predict, MiT-B5 512x512"
+            "metric": f"int8 predict, MiT-B5 {size}x{size}"
                       if on_tpu and not args.quick else
                       "int8 predict (quick/cpu config)",
             "value": round(batch / step_s, 3),
@@ -288,7 +288,7 @@ def main() -> None:
     if args.mode == "ema" and args.int8_teacher:
         mode_name += " (int8 teacher)"
     print(json.dumps({
-        "metric": f"{mode_name}, MiT-B5 512x512 bf16"
+        "metric": f"{mode_name}, MiT-B5 {size}x{size} bf16"
                   if on_tpu and not args.quick else
                   f"{mode_name} (quick/cpu config)",
         "value": round(ips, 3),
