@@ -4,6 +4,9 @@ from semisupervisedobjectdetection_tpu.parallel.collective import (  # noqa: F40
     mixffn_collective,
     sequence_parallel_ffn,
 )
+from semisupervisedobjectdetection_tpu.parallel.pipeline_train import (  # noqa: F401,E501
+    PipelinedTrainer,
+)
 from semisupervisedobjectdetection_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     fsdp_shard,

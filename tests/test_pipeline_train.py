@@ -1,0 +1,117 @@
+"""Pipeline-parallel TRAINING (`parallel/pipeline_train.py`).
+
+The stage-per-device GPipe step must produce the SAME update as the
+single-device `train_step(accum=micro)` (both are mean-of-microbatch-grad
+updates through the identical optimizer chain), while each device holds
+only its own stage's parameters and optimizer state. The reference has no
+distributed training at all (SURVEY.md §5); the oracle is this repo's own
+tested step.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from semisupervisedobjectdetection_tpu.core.config import (
+    TrainConfig,
+    mit_b0,
+)
+from semisupervisedobjectdetection_tpu.models.segformer import SegFormer
+from semisupervisedobjectdetection_tpu import losses
+from semisupervisedobjectdetection_tpu.parallel.pipeline_train import (
+    PipelinedTrainer,
+)
+from semisupervisedobjectdetection_tpu.train.common import forward_masks
+from semisupervisedobjectdetection_tpu.train.state import TrainState
+from semisupervisedobjectdetection_tpu.train.supervised import train_step
+
+needs8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                            reason="needs 8 devices")
+
+TINY = mit_b0(depths=(1, 1, 1, 1), hidden_sizes=(8, 16, 32, 64),
+              num_heads=(1, 2, 4, 8), decoder_hidden=32)
+
+
+def _setup(b=4, size=64):
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 1, (b, size, size, 3)), jnp.float32)
+    masks = jnp.asarray(rng.uniform(0, 1, (b, size, size)) > 0.5,
+                        jnp.float32)
+    variables = jax.jit(SegFormer(TINY).init)(jax.random.PRNGKey(0),
+                                              imgs[:1])
+    return imgs, masks, variables
+
+
+@needs8
+def test_pipeline_step_matches_accum_train_step():
+    imgs, masks, variables = _setup()
+
+    # oracle grads for the noise-floor mask (Adam's first step is
+    # ~sign(g); see test_grad_accum for the full rationale)
+    def loss_fn(params, im, mk):
+        pred, _, _ = forward_masks(
+            TINY, {"params": params,
+                   "batch_stats": variables["batch_stats"]},
+            im, train_mode=False)
+        return losses.segmentation_loss(pred, mk, "dice")
+
+    g0 = jax.jit(jax.grad(loss_fn))(variables["params"], imgs[:2],
+                                    masks[:2])
+    g1 = jax.jit(jax.grad(loss_fn))(variables["params"], imgs[2:],
+                                    masks[2:])
+    want_g = jax.tree.map(lambda a, b: (a + b) / 2.0, g0, g1)
+
+    oracle = TrainState.create(jax.tree.map(jnp.copy, variables),
+                               TrainConfig())
+    oracle, o_loss, _ = train_step(oracle, imgs, masks,
+                                   jax.random.PRNGKey(0), TINY, accum=2)
+
+    pt = PipelinedTrainer(TINY, variables, TrainConfig())
+    loss = pt.step(imgs, masks, micro=2)
+    np.testing.assert_allclose(loss, float(o_loss), rtol=1e-5, atol=1e-6)
+
+    merged = pt.merged_params()
+    flat_o = jax.tree_util.tree_flatten_with_path(oracle.params)[0]
+    flat_m = jax.tree_util.tree_flatten_with_path(merged)[0]
+    assert ([jax.tree_util.keystr(k) for k, _ in flat_o]
+            == [jax.tree_util.keystr(k) for k, _ in flat_m]), (
+        "pipeline param tree does not reassemble the full model tree")
+    checked = 0
+    for (kp, a), (_, b), g in zip(flat_o, flat_m,
+                                  jax.tree.leaves(want_g)):
+        sel = np.abs(np.asarray(g)) > 1e-6
+        checked += int(sel.sum())
+        np.testing.assert_allclose(
+            np.asarray(a)[sel], np.asarray(b)[sel], rtol=2e-5, atol=2e-6,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(kp)}")
+    assert checked > 1000
+
+
+@needs8
+def test_pipeline_memory_placement_and_training_progress():
+    """Each stage's params+opt state live only on that stage's device,
+    and a few steps actually reduce the loss."""
+    imgs, masks, variables = _setup()
+    pt = PipelinedTrainer(TINY, variables, TrainConfig(lr=3e-3))
+    for i, st in enumerate(pt.stage_states):
+        devs = {d for leaf in jax.tree.leaves(st.params)
+                for d in leaf.devices()}
+        assert devs == {pt.stage_devices[i]}
+        odevs = {d for leaf in jax.tree.leaves(st.opt_state)
+                 if hasattr(leaf, "devices") for d in leaf.devices()}
+        assert odevs <= {pt.stage_devices[i]}
+    assert pt.head_device not in set(pt.stage_devices)  # 8 devs, 4 stages
+
+    first = pt.step(imgs, masks, micro=2)
+    for k in range(6):
+        last = pt.step(imgs, masks, micro=2)
+    assert last < first, (first, last)
+    pt.scheduler_step()  # smoke: per-stage lr decay
+
+
+def test_pipeline_rejects_cls_configs():
+    cfg = TINY.replace(cls_tokens=(1, 1, 1, 1))
+    imgs, masks, variables = _setup(b=1)
+    with pytest.raises(NotImplementedError, match="CLS"):
+        PipelinedTrainer(cfg, variables, TrainConfig())
