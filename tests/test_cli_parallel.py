@@ -53,14 +53,23 @@ def test_supervised_parallel_fsdp(tmp_path):
 def test_supervised_parallel_tp_collective(tmp_path):
     """dp x tp mesh + tensor-parallel params + the explicit ring
     collective MixFFN (--ffn-impl collective) through the real CLI epoch
-    loop. Loss must match the single-device run bit-for-bit in intent
-    (same data/augment keys) — asserted loosely since GSPMD reduction
-    orders differ."""
-    row_tp = _run_supervised(tmp_path, ["--parallel", "tp", "--tp", "2",
-                                        "--ffn-impl", "collective"])
-    row_1 = _run_supervised(tmp_path, [])
-    assert abs(float(row_tp["train_loss"]) -
-               float(row_1["train_loss"])) < 5e-2, (row_tp, row_1)
+    loop, compared against the single-device run (loose: GSPMD reduction
+    orders differ).
+
+    Runs in a fresh interpreter (tests/_tp_collective_cli_main.py): its
+    fresh large compiles hit the XLA:CPU executable-cache serializer
+    segfault in long-lived xdist workers — third victim after
+    test_quant's delta bound and the graft-entry dryrun (CLAUDE.md)."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "_tp_collective_cli_main.py")
+    proc = subprocess.run([sys.executable, script], env=dict(os.environ),
+                          capture_output=True, text=True, timeout=1800)
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    assert "tp-collective-ok" in proc.stdout
 
 
 @needs8
