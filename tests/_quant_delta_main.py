@@ -21,6 +21,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+from semisupervisedobjectdetection_tpu.utils.cache import (  # noqa: E402
+    setup_compile_cache,
+)
+
+# private persistent cache: warm repeat runs without sharing a dir
+# with the xdist workers (concurrent access is the suite's
+# cache-serializer SIGSEGV trigger - see tests/conftest.py)
+setup_compile_cache("/tmp/jax_test_cache_quantdelta", min_compile_secs=0.5)
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 

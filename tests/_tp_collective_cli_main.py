@@ -27,6 +27,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+from semisupervisedobjectdetection_tpu.utils.cache import (  # noqa: E402
+    setup_compile_cache,
+)
+
+# private persistent cache: warm repeat runs without sharing a dir
+# with the xdist workers (concurrent access is the suite's
+# cache-serializer SIGSEGV trigger - see tests/conftest.py)
+setup_compile_cache("/tmp/jax_test_cache_tpcoll", min_compile_secs=0.5)
+
 import numpy as np  # noqa: E402
 
 ARGS = ["--synthetic", "--synthetic-n", "8", "--img-size", "64",

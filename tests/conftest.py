@@ -26,9 +26,15 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: CPU compiles dominate suite runtime. The
 # dir is keyed by host CPU fingerprint — XLA:CPU cache entries are AOT
 # machine code and loading a foreign machine's entry SIGSEGVs
-# (utils/cache.py has the full story).
+# (utils/cache.py has the full story) — AND by xdist worker id: four
+# workers sharing one dir is the common factor in every nondeterministic
+# put/get_executable_and_time SIGSEGV this suite has seen (standalone
+# single-process runs never crash; CLAUDE.md round-3 hazard notes), so
+# each worker gets a private cache and concurrent access never happens.
 from semisupervisedobjectdetection_tpu.utils.cache import (  # noqa: E402
     setup_compile_cache,
 )
 
-setup_compile_cache("/tmp/jax_test_cache", min_compile_secs=0.5)
+_worker = os.environ.get("PYTEST_XDIST_WORKER", "main")
+setup_compile_cache(f"/tmp/jax_test_cache_{_worker}",
+                    min_compile_secs=0.5)
