@@ -233,6 +233,23 @@ class SegFormerModel:
             return self._qcfg, self._qvars
         return self.cfg, self.state.variables()
 
+    def export_serving(self, path: str, batch_size: int,
+                       img_size: int | None = None,
+                       platforms=("cpu", "tpu")) -> dict:
+        """Write a self-contained AOT serving artifact: the compiled
+        predict (weights baked in as StableHLO constants) at one pinned
+        batch shape, loadable by `checkpoint.serving_export.load_serving`
+        with no model code or checkpoint tree. Exports the int8 snapshot
+        when `quantize()` is active, else the live f32 weights. Returns
+        the artifact header. TPU-serving addition; no reference
+        analogue."""
+        from semisupervisedobjectdetection_tpu.checkpoint.serving_export \
+            import export_serving
+
+        scfg, svars = self._serving()
+        return export_serving(scfg, svars, path, batch_size=batch_size,
+                              img_size=img_size, platforms=platforms)
+
     def predict(self, img, mask=None, isEval: bool = True,
                 use_loss: str = "dice", output_cls_token: bool = False):
         """Forward + loss selection (ref `:103-139`). Returns masks, or

@@ -270,6 +270,10 @@ def main(argv=None):
     p.add_argument("--pretrain-weight", help="orbax checkpoint to restore")
     p.add_argument("--hf-weights",
                    help="torch .pth/.safetensors SegFormer weights")
+    p.add_argument("--artifact",
+                   help="AOT serving artifact (cli.export / "
+                        "SegFormerModel.export_serving) — serves the "
+                        "baked-in weights; no checkpoint or model build")
     p.add_argument("--int8", action="store_true",
                    help="serve through the int8 snapshot (~2x MXU rate)")
     p.add_argument("--int8-snapshot",
@@ -284,6 +288,29 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import os
+
+    if args.artifact:
+        from semisupervisedobjectdetection_tpu.checkpoint.serving_export \
+            import load_serving
+
+        predictor = load_serving(args.artifact)
+        hdr = predictor.header
+        srv = InferenceServer(
+            predictor, img_size=hdr["img_size"],
+            max_batch=hdr["batch"],
+            batch_window_ms=args.batch_window_ms,
+            int8=hdr.get("quant") == "int8",
+            variant=f"artifact:{os.path.basename(args.artifact)}")
+        port = srv.start(args.host, args.port)
+        print(f"serving artifact {args.artifact} on "
+              f"http://{args.host}:{port}  (batch {hdr['batch']}, "
+              f"quant {hdr.get('quant')})")
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            srv.stop()
+        return
 
     from semisupervisedobjectdetection_tpu.api import SegFormerModel
     from semisupervisedobjectdetection_tpu.core.config import MIT_VARIANTS
