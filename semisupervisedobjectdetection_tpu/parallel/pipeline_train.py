@@ -28,6 +28,12 @@ async dispatch express the wavefront naturally and keep every tensor at
 its native shape. Cross-device hops ride ICI via `jax.device_put`
 between stage calls.
 
+`DataParallelPipelinedTrainer` composes this with data parallelism
+(dp x pp): the device list splits into dp replica groups, each replica
+runs the wavefronts on a batch shard with mirrored params, gradient sums
+reduce onto the owning group's devices, and one optimizer update equals
+`train_step(accum=dp*micro)`.
+
 Reference: single-GPU, no parallelism of any kind (SURVEY.md §5); this
 is a TPU scaling addition. Forward passes run in eval mode — which IS
 the reference's supervised-training quirk (`SegFormerModel.py:104-105`),
@@ -142,19 +148,74 @@ class PipelinedTrainer:
         return {"encoder": enc,
                 "decode_head": jax.device_get(self.head_state.params)}
 
-    def _forward_micro(self, images: Array):
-        """One microbatch forward wavefront. Returns (stage_inputs, feats):
-        stage_inputs[i] stays on stage i's device (the backward recompute
-        anchor); feats collect on the head device."""
-        xs, feats = [], []
-        x = jax.device_put(images, self.stage_devices[0])
+    # ------------------------------------------------------- wavefronts
+    def _wavefronts(self, images: Array, masks: Array, micro: int,
+                    stage_params: Sequence[dict], head_params: dict,
+                    head_stats, stage_devices: Sequence[jax.Device],
+                    head_device: jax.Device
+                    ) -> Tuple[list, dict, Array]:
+        """GPipe forward fill + backward drain over `micro` microbatches
+        with the given parameters/devices (the compiled stage callables
+        are device-agnostic — jit dispatches wherever the args live, which
+        is what lets a data-parallel replica reuse them on its own device
+        group). Returns (stage grad sums, head grad sum, loss sum); no
+        optimizer update."""
+        b = images.shape[0]
+        mb = b // micro
+        n = self.cfg.num_stages
+        stage_gsums = [None] * n
+        head_gsum = None
+        loss_sum = None
+
+        # Fill: all microbatch forwards first (async dispatch overlaps
+        # microbatch k's stage j with k+1's stage j-1), keeping only the
+        # per-stage inputs as backward recompute anchors.
+        fwd = []
+        for s in range(micro):
+            xs, feats = [], []
+            x = jax.device_put(images[s * mb:(s + 1) * mb],
+                               stage_devices[0])
+            for i in range(n):
+                if i > 0:
+                    x = jax.device_put(x, stage_devices[i])
+                xs.append(x)
+                x, _ = self._stage_fwd[i](stage_params[i], x)
+                feats.append(jax.device_put(x, head_device))
+            fwd.append((xs, feats))
+
+        for s in range(micro):
+            xs, feats = fwd[s]
+            m = jax.device_put(masks[s * mb:(s + 1) * mb], head_device)
+            loss, (g_head, g_feats) = self._head_grad(
+                head_params, tuple(feats), head_stats, m)
+            loss_sum = loss if loss_sum is None else loss_sum + loss
+            head_gsum = (g_head if head_gsum is None else
+                         jax.tree.map(jnp.add, head_gsum, g_head))
+
+            gx_next = None
+            for i in reversed(range(n)):
+                gy = jax.device_put(g_feats[i], stage_devices[i])
+                if gx_next is not None:
+                    gy = gy + jax.device_put(gx_next, stage_devices[i])
+                gp, gx_next = self._stage_bwd[i](
+                    stage_params[i], xs[i], gy, None)
+                stage_gsums[i] = (gp if stage_gsums[i] is None else
+                                  jax.tree.map(jnp.add, stage_gsums[i], gp))
+        return stage_gsums, head_gsum, loss_sum
+
+    def _apply(self, stage_gsums: list, head_gsum: dict, loss_sum: Array,
+               denom: int) -> float:
+        """ONE optimizer update per stage from summed gradients over
+        `denom` microbatch contributions (mean-of-microbatch-grads)."""
+        mean_loss = loss_sum / denom
         for i in range(self.cfg.num_stages):
-            if i > 0:
-                x = jax.device_put(x, self.stage_devices[i])
-            xs.append(x)
-            x, _ = self._stage_fwd[i](self.stage_states[i].params, x)
-            feats.append(jax.device_put(x, self.head_device))
-        return xs, feats
+            grads = jax.tree.map(lambda g: g / denom, stage_gsums[i])
+            self.stage_states[i] = self.stage_states[i].apply_gradients(
+                grads, jax.device_put(mean_loss, self.stage_devices[i]))
+        head_grads = jax.tree.map(lambda g: g / denom, head_gsum)
+        self.head_state = self.head_state.apply_gradients(
+            head_grads, mean_loss)
+        return float(mean_loss)
 
     # -------------------------------------------------------------- step
     def step(self, images: Array, masks: Array, micro: int = 1
@@ -168,51 +229,128 @@ class PipelinedTrainer:
         b = images.shape[0]
         if b % micro:
             raise ValueError(f"batch {b} not divisible by micro={micro}")
-        mb = b // micro
-        n = self.cfg.num_stages
-
-        stage_gsums = [None] * n
-        head_gsum = None
-        loss_sum = None
-
-        # GPipe: fill the pipeline with all microbatch forwards (async
-        # dispatch overlaps stages across devices), keeping only the
-        # per-stage inputs, then drain with the backward wavefront.
-        fwd = [self._forward_micro(images[s * mb:(s + 1) * mb])
-               for s in range(micro)]
-
-        for s in range(micro):
-            xs, feats = fwd[s]
-            m = jax.device_put(masks[s * mb:(s + 1) * mb],
-                               self.head_device)
-            loss, (g_head, g_feats) = self._head_grad(
-                self.head_state.params, tuple(feats),
-                self.head_state.batch_stats, m)
-            loss_sum = loss if loss_sum is None else loss_sum + loss
-            head_gsum = (g_head if head_gsum is None else
-                         jax.tree.map(jnp.add, head_gsum, g_head))
-
-            gx_next = None
-            for i in reversed(range(n)):
-                gy = jax.device_put(g_feats[i], self.stage_devices[i])
-                if gx_next is not None:
-                    gy = gy + jax.device_put(gx_next, self.stage_devices[i])
-                gp, gx_next = self._stage_bwd[i](
-                    self.stage_states[i].params, xs[i], gy, None)
-                stage_gsums[i] = (gp if stage_gsums[i] is None else
-                                  jax.tree.map(jnp.add, stage_gsums[i], gp))
-
-        mean_loss = loss_sum / micro
-        for i in range(n):
-            grads = jax.tree.map(lambda g: g / micro, stage_gsums[i])
-            self.stage_states[i] = self.stage_states[i].apply_gradients(
-                grads, jax.device_put(mean_loss, self.stage_devices[i]))
-        head_grads = jax.tree.map(lambda g: g / micro, head_gsum)
-        self.head_state = self.head_state.apply_gradients(
-            head_grads, mean_loss)
-        return float(mean_loss)
+        stage_gsums, head_gsum, loss_sum = self._wavefronts(
+            images, masks, micro,
+            [st.params for st in self.stage_states],
+            self.head_state.params, self.head_state.batch_stats,
+            self.stage_devices, self.head_device)
+        return self._apply(stage_gsums, head_gsum, loss_sum, micro)
 
     def scheduler_step(self) -> None:
         self.stage_states = [st.scheduler_step()
                              for st in self.stage_states]
         self.head_state = self.head_state.scheduler_step()
+
+
+class DataParallelPipelinedTrainer:
+    """2D dp x pp: `dp` data-parallel replicas of the stage-per-device
+    pipeline, one optimizer.
+
+    The device list splits into `dp` groups; group 0 owns the single
+    `PipelinedTrainer` (stage params + Adam moments), groups 1..dp-1 hold
+    read-only parameter mirrors. Each step shards the batch across
+    replicas, every replica runs its own GPipe wavefronts on its devices
+    (the jitted stage callables are shared — jit dispatches by argument
+    placement), replica gradient sums reduce onto group 0's stage devices,
+    ONE update applies the dp x micro microbatch-mean gradient, and the
+    updated params re-mirror. Numerically this is
+    `train_step(accum=dp*micro)` — asserted by tests/test_pipeline_train.py
+    — i.e. the same contract as the plain pipeline, scaled out.
+
+    The reduce + re-mirror is the host-orchestrated analogue of dp's
+    gradient all-reduce + FSDP's param broadcast; transfers ride ICI via
+    `jax.device_put` like the pipeline's activation hops. The reference
+    has no distributed training at all (SURVEY.md §5)."""
+
+    def __init__(self, cfg: MiTConfig, variables: dict, tc: TrainConfig,
+                 dp: int = 2,
+                 devices: Optional[Sequence[jax.Device]] = None,
+                 loss_type: str = "dice"):
+        devices = list(devices if devices is not None else jax.devices())
+        if dp < 1 or len(devices) % dp:
+            raise ValueError(
+                f"{len(devices)} devices not divisible into dp={dp} groups")
+        per = len(devices) // dp
+        groups = [devices[r * per:(r + 1) * per] for r in range(dp)]
+        self.dp = dp
+        self.pt = PipelinedTrainer(cfg, variables, tc, devices=groups[0],
+                                   loss_type=loss_type)
+        n = cfg.num_stages
+        self.rep_stage_devices = [
+            [g[i % len(g)] for i in range(n)] for g in groups]
+        self.rep_head_devices = [g[n % len(g)] for g in groups]
+        self._mirror()
+
+    def _mirror(self) -> None:
+        """Copy group 0's current params (and head BN stats) to every
+        other replica's devices."""
+        pt = self.pt
+        n = pt.cfg.num_stages
+        self._rep_stage_params = []
+        self._rep_head_params = []
+        self._rep_head_stats = []
+        for r in range(1, self.dp):
+            self._rep_stage_params.append([
+                jax.device_put(pt.stage_states[i].params,
+                               self.rep_stage_devices[r][i])
+                for i in range(n)])
+            self._rep_head_params.append(
+                jax.device_put(pt.head_state.params,
+                               self.rep_head_devices[r]))
+            self._rep_head_stats.append(
+                jax.device_put(pt.head_state.batch_stats,
+                               self.rep_head_devices[r])
+                if pt.head_state.batch_stats else
+                pt.head_state.batch_stats)
+
+    def merged_params(self) -> dict:
+        return self.pt.merged_params()
+
+    def step(self, images: Array, masks: Array, micro: int = 1) -> float:
+        """One update from dp x micro pipelined microbatches (batch shards
+        across replicas, then microbatches within each)."""
+        images = jnp.asarray(images)
+        masks = jnp.asarray(masks)
+        b = images.shape[0]
+        if b % (self.dp * micro):
+            raise ValueError(f"batch {b} not divisible by "
+                             f"dp*micro={self.dp}*{micro}")
+        shard = b // self.dp
+        pt = self.pt
+        n = pt.cfg.num_stages
+
+        results = []
+        for r in range(self.dp):
+            if r == 0:
+                sp = [st.params for st in pt.stage_states]
+                hp, hs = pt.head_state.params, pt.head_state.batch_stats
+            else:
+                sp = self._rep_stage_params[r - 1]
+                hp = self._rep_head_params[r - 1]
+                hs = self._rep_head_stats[r - 1]
+            results.append(pt._wavefronts(
+                images[r * shard:(r + 1) * shard],
+                masks[r * shard:(r + 1) * shard], micro, sp, hp, hs,
+                self.rep_stage_devices[r], self.rep_head_devices[r]))
+
+        # reduce replica grad sums onto group 0's devices
+        stage_gsums, head_gsum, loss_sum = results[0]
+        for r in range(1, self.dp):
+            sg, hg, ls = results[r]
+            for i in range(n):
+                stage_gsums[i] = jax.tree.map(
+                    lambda a, b, i=i: a + jax.device_put(
+                        b, pt.stage_devices[i]),
+                    stage_gsums[i], sg[i])
+            head_gsum = jax.tree.map(
+                lambda a, b: a + jax.device_put(b, pt.head_device),
+                head_gsum, hg)
+            loss_sum = loss_sum + jax.device_put(ls, pt.head_device)
+
+        out = pt._apply(stage_gsums, head_gsum, loss_sum,
+                        self.dp * micro)
+        self._mirror()
+        return out
+
+    def scheduler_step(self) -> None:
+        self.pt.scheduler_step()

@@ -20,6 +20,7 @@ from semisupervisedobjectdetection_tpu.core.config import (
 from semisupervisedobjectdetection_tpu.models.segformer import SegFormer
 from semisupervisedobjectdetection_tpu import losses
 from semisupervisedobjectdetection_tpu.parallel.pipeline_train import (
+    DataParallelPipelinedTrainer,
     PipelinedTrainer,
 )
 from semisupervisedobjectdetection_tpu.train.common import forward_masks
@@ -115,3 +116,50 @@ def test_pipeline_rejects_cls_configs():
     imgs, masks, variables = _setup(b=1)
     with pytest.raises(NotImplementedError, match="CLS"):
         PipelinedTrainer(cfg, variables, TrainConfig())
+
+
+@needs8
+def test_dp_pipeline_matches_accum_train_step():
+    """dp x pp (2 replicas x 4 stages on 8 devices) must equal the
+    single-device train_step(accum=dp*micro) update."""
+    imgs, masks, variables = _setup()
+
+    oracle = TrainState.create(jax.tree.map(jnp.copy, variables),
+                               TrainConfig())
+    oracle, o_loss, _ = train_step(oracle, imgs, masks,
+                                   jax.random.PRNGKey(0), TINY, accum=2)
+
+    dpt = DataParallelPipelinedTrainer(TINY, variables, TrainConfig(),
+                                       dp=2)
+    loss = dpt.step(imgs, masks, micro=1)  # dp*micro = 2 contributions
+    np.testing.assert_allclose(loss, float(o_loss), rtol=1e-5, atol=1e-6)
+
+    # replica groups are disjoint device sets; mirrors live off-group-0
+    g0 = set(dpt.rep_stage_devices[0])
+    g1 = set(dpt.rep_stage_devices[1])
+    assert not (g0 & g1)
+    for i, p in enumerate(dpt._rep_stage_params[0]):
+        devs = {d for leaf in jax.tree.leaves(p) for d in leaf.devices()}
+        assert devs == {dpt.rep_stage_devices[1][i]}
+
+    merged = dpt.merged_params()
+    for (kp, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(oracle.params)[0],
+            jax.tree.leaves(merged)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(kp)}")
+
+
+@needs8
+def test_dp_pipeline_trains():
+    imgs, masks, variables = _setup(b=8)
+    dpt = DataParallelPipelinedTrainer(TINY, variables,
+                                       TrainConfig(lr=3e-3), dp=2)
+    first = dpt.step(imgs, masks, micro=2)
+    for _ in range(5):
+        last = dpt.step(imgs, masks, micro=2)
+    assert last < first, (first, last)
+    dpt.scheduler_step()
+    with pytest.raises(ValueError, match="divisible"):
+        dpt.step(imgs[:6], masks[:6], micro=4)
