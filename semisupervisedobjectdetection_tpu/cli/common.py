@@ -84,7 +84,7 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "batch hides host IO; two adds HBM+tunnel "
                         "contention")
     p.add_argument("--parallel", default="none",
-                   choices=["none", "dp", "fsdp", "tp"],
+                   choices=["none", "dp", "fsdp", "tp", "pp", "dp_pp"],
                    help="multi-chip strategy (parallel/): 'dp' replicates "
                         "params and shards batches over all devices, "
                         "'fsdp' additionally shards params+optimizer state "
@@ -92,11 +92,19 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "(data, tp) mesh with FFN column/row- and "
                         "head-parallel attention tensor parallelism "
                         "(parallel/tp.py) and installs it as the ambient "
-                        "mesh (enables ffn_impl='collective'). 'none' "
-                        "(default) keeps the single-device behavior")
+                        "mesh (enables ffn_impl='collective'), 'pp' trains "
+                        "pipeline-parallel (one MiT stage + its optimizer "
+                        "state per device, GPipe microbatch wavefronts — "
+                        "parallel/pipeline_train.py; supervised CLI only, "
+                        "--grad-accum sets the microbatch count), 'dp_pp' "
+                        "composes --dp replica groups of that pipeline. "
+                        "'none' (default) keeps the single-device behavior")
     p.add_argument("--tp", type=int, default=2,
                    help="tp-axis size for --parallel tp (must divide the "
                         "device count)")
+    p.add_argument("--dp", type=int, default=2,
+                   help="replica-group count for --parallel dp_pp (must "
+                        "divide the device count)")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="gradient accumulation: split each batch into N "
                         "microbatches scanned inside one jitted update "
@@ -154,7 +162,10 @@ def setup_parallel(args, states, cfg=None):
     `SURVEY.md §5`; this is TPU-scaling capability with no counterpart).
     """
     mode = getattr(args, "parallel", "none")
-    if mode in (None, "none"):
+    if mode in (None, "none", "pp", "dp_pp"):
+        # pp modes build their own stage-per-device trainer inside the
+        # supervised train loop (parallel/pipeline_train.py) — no mesh or
+        # state re-placement here.
         if getattr(args, "ffn_impl", None) == "collective":
             print("note: --ffn-impl collective without --parallel tp "
                   "falls back to the XLA chain (no ambient tp mesh)")

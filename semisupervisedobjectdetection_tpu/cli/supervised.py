@@ -63,6 +63,40 @@ def train_loop(model: SegFormerModel, loaders, dcfg, tc, args,
             rng = jax.random.fold_in(rng, start_epoch)
             print(f"resumed from epoch {start_epoch} "
                   f"(best eval {best:.4f})")
+
+    # --parallel pp / dp_pp: stage-per-device GPipe pipeline training
+    # (parallel/pipeline_train.py). The trainer owns per-stage params +
+    # optimizer moments; merged params sync back into model.state each
+    # epoch for eval/checkpointing (note: a saved checkpoint therefore
+    # carries fresh optimizer moments — resume restarts them, which is
+    # still strictly more than the reference, which never saves them).
+    pp_mode = getattr(args, "parallel", "none")
+    trainer = pt = None
+    if pp_mode in ("pp", "dp_pp"):
+        from semisupervisedobjectdetection_tpu.parallel.pipeline_train \
+            import DataParallelPipelinedTrainer, PipelinedTrainer
+
+        # tc carries the run lr except under --tune-lr, where the grid
+        # point lives in model.state.base_lr — honor it.
+        tc_pp = tc.replace(lr=float(model.state.base_lr))
+        if pp_mode == "pp":
+            trainer = PipelinedTrainer(model.cfg, model.state.variables(),
+                                       tc_pp, loss_type=loss_type)
+        else:
+            trainer = DataParallelPipelinedTrainer(
+                model.cfg, model.state.variables(), tc_pp,
+                dp=max(1, getattr(args, "dp", 2)), loss_type=loss_type)
+        pt = trainer.pt if pp_mode == "dp_pp" else trainer
+        ndev = len({d for st in pt.stage_states
+                    for leaf in jax.tree.leaves(st.params)
+                    for d in leaf.devices()} | {pt.head_device})
+        print(f"--parallel {pp_mode}: GPipe pipeline training, "
+              f"{model.cfg.num_stages} stages + head over {ndev} "
+              f"device(s)"
+              + (f" x {trainer.dp} replica groups"
+                 if pp_mode == "dp_pp" else "")
+              + f", micro={max(getattr(args, 'grad_accum', 1), 1)}")
+
     for epoch in range(start_epoch, tc.epochs):
         train_losses = []
         rng, epoch_rng = jax.random.split(rng)
@@ -74,10 +108,21 @@ def train_loop(model: SegFormerModel, loaders, dcfg, tc, args,
         for imgs, masks in prefetch_train_batches(loaders["train"],
                                                   epoch_rng, dcfg,
                                                   depth=depth):
-            loss, _ = model.train_one_epoch(imgs, masks,
-                                            use_loss=loss_type, lazy=True)
+            if trainer is not None:
+                loss = trainer.step(
+                    imgs, masks,
+                    micro=max(getattr(args, "grad_accum", 1), 1))
+            else:
+                loss, _ = model.train_one_epoch(imgs, masks,
+                                                use_loss=loss_type,
+                                                lazy=True)
             train_losses.append(loss)
-        model.scheduler_step()
+        if trainer is not None:
+            trainer.scheduler_step()
+            model.state = model.state.replace(
+                params=trainer.merged_params())
+        else:
+            model.scheduler_step()
         train_losses = common.host_floats(train_losses)
 
         t0 = time.time()
@@ -95,10 +140,12 @@ def train_loop(model: SegFormerModel, loaders, dcfg, tc, args,
 
         train_loss = float(np.mean(train_losses)) if train_losses else 0.0
         eval_loss = float(np.mean(eval_losses)) if eval_losses else 0.0
+        lr_now = float(pt.head_state.lr if trainer is not None
+                       else model.state.lr)
         logger.log(epoch, train_loss=train_loss, eval_loss=eval_loss,
                    dice=float(np.mean(dices)) if dices else 0.0,
                    miou=float(np.mean(mious)) if mious else 0.0,
-                   fps=fps, lr=float(model.state.lr))
+                   fps=fps, lr=lr_now)
         if eval_loss < best:
             best = eval_loss
             if args.checkpoint_dir:

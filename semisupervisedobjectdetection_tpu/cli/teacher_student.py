@@ -61,6 +61,10 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
     train_mode = tc.reference_quirks
     (teacher, student, start_epoch, best_s, best_t,
      rng) = _try_resume(args, teacher, student, ckpt_s, ckpt_t, rng)
+    if getattr(args, "parallel", "none") in ("pp", "dp_pp"):
+        print("warning: --parallel pp/dp_pp is supervised-CLI-only "
+              "(pipeline training drives one model); running "
+              "single-device")
     _, (teacher, student) = common.setup_parallel(
         args, (teacher, student), cfg)
 

@@ -73,6 +73,22 @@ def test_supervised_parallel_tp_collective(tmp_path):
 
 
 @needs8
+def test_supervised_parallel_pp(tmp_path):
+    """GPipe pipeline training (--parallel pp) through the real CLI epoch
+    loop: stage-per-device params/optimizer, --grad-accum as the
+    microbatch count, merged params synced back for eval."""
+    _run_supervised(tmp_path, ["--parallel", "pp", "--grad-accum", "2"])
+
+
+@needs8
+def test_supervised_parallel_dp_pp(tmp_path):
+    """dp x pp (--parallel dp_pp --dp 2): two replica groups of the
+    pipeline, one update == train_step(accum=dp*micro)."""
+    _run_supervised(tmp_path, ["--parallel", "dp_pp", "--dp", "2",
+                               "--grad-accum", "2"])
+
+
+@needs8
 def test_ema_mode_parallel_dp(tmp_path):
     """Flagship EMA mean-teacher loop over the dp mesh from the CLI."""
     from semisupervisedobjectdetection_tpu.cli import common
