@@ -307,21 +307,29 @@ def ensure_data(args, dcfg: DataConfig, need_unlabeled: bool = False
 
 
 def check_grad_accum(args, train_loader) -> None:
-    """Fail fast on a --grad-accum that cannot divide the train batches.
+    """Fail fast on a batch the training step cannot divide.
 
     The jitted steps raise ValueError mid-trace on a non-divisible batch —
     after checkpoint load and a potentially multi-minute B5 compile.
-    Three ways a bad batch reaches the step: --batch-size is not a
-    multiple of --grad-accum; the tiny-dataset clamp in `make_loaders`
-    shrank the batch below the requested size; or drop_last=False leaves
-    a partial final batch."""
-    accum = getattr(args, "grad_accum", 1)
-    if accum <= 1 or train_loader is None:
+    The required divisor is --grad-accum (microbatching), times --dp under
+    `--parallel dp_pp` (the pipelined trainer shards batches across dp
+    replica groups THEN into micro=grad-accum microbatches, so the step
+    needs batch % (dp*micro) == 0 even at grad-accum 1). Three ways a bad
+    batch reaches the step: --batch-size is not a multiple of the divisor;
+    the tiny-dataset clamp in `make_loaders` shrank the batch below the
+    requested size; or drop_last=False leaves a partial final batch."""
+    accum = max(getattr(args, "grad_accum", 1), 1)
+    div, label = accum, f"--grad-accum {accum}"
+    if getattr(args, "parallel", "none") == "dp_pp":
+        dp = max(1, getattr(args, "dp", 2))
+        div = accum * dp
+        label = f"--parallel dp_pp (dp={dp} x --grad-accum {accum})"
+    if div <= 1 or train_loader is None:
         return
     bs = train_loader.batch_size
-    if bs % accum:
+    if bs % div:
         raise SystemExit(
-            f"--grad-accum {accum} does not divide the effective train "
+            f"{label} does not divide the effective train "
             f"batch {bs} (a --batch-size smaller than the dataset may "
             f"have been clamped to the dataset size); use a divisor of "
             f"the effective batch")
@@ -329,7 +337,7 @@ def check_grad_accum(args, train_loader) -> None:
             and getattr(train_loader, "num_shards", 1) == 1
             and len(train_loader.dataset) % bs):
         raise SystemExit(
-            f"--grad-accum {accum} with drop_last=False would hit a "
+            f"{label} with drop_last=False would hit a "
             f"partial final batch of "
             f"{len(train_loader.dataset) % bs}; enable drop_last")
 

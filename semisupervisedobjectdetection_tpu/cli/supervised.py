@@ -81,12 +81,20 @@ def train_loop(model: SegFormerModel, loaders, dcfg, tc, args,
         tc_pp = tc.replace(lr=float(model.state.base_lr))
         if pp_mode == "pp":
             trainer = PipelinedTrainer(model.cfg, model.state.variables(),
-                                       tc_pp, loss_type=loss_type)
+                                       tc_pp, loss_type=loss_type,
+                                       trainable_mask=model.state
+                                       .trainable_mask)
         else:
             trainer = DataParallelPipelinedTrainer(
                 model.cfg, model.state.variables(), tc_pp,
-                dp=max(1, getattr(args, "dp", 2)), loss_type=loss_type)
+                dp=max(1, getattr(args, "dp", 2)), loss_type=loss_type,
+                trainable_mask=model.state.trainable_mask)
         pt = trainer.pt if pp_mode == "dp_pp" else trainer
+        # A resumed run restarts the trainer at epoch 0 — fast-forward the
+        # exponential lr schedule to the checkpointed epoch (optimizer
+        # moments DO restart fresh, per the note above; the lr must not).
+        for _ in range(start_epoch):
+            trainer.scheduler_step()
         ndev = len({d for st in pt.stage_states
                     for leaf in jax.tree.leaves(st.params)
                     for d in leaf.devices()} | {pt.head_device})

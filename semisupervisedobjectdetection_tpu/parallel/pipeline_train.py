@@ -45,6 +45,7 @@ data-parallel step for domain-prompting workloads).
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -68,6 +69,55 @@ from semisupervisedobjectdetection_tpu.train.state import TrainState
 Array = jax.Array
 
 
+# The jitted stage/head callables are module-level and memoized on
+# (cfg, stage) so rebuilding a trainer — e.g. `--tune-lr` constructing one
+# per grid point — reuses the compiled executables instead of re-tracing
+# 2*num_stages+1 programs per instance (~200s per B5 compile on TPU; the
+# same rationale as train/state.py's optax-transform memoization).
+@functools.lru_cache(maxsize=None)
+def _fwd_jit(cfg: MiTConfig, i: int):
+    return jax.jit(
+        lambda p, x: EncoderStage(cfg, i).apply({"params": p}, x))
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_jit(cfg: MiTConfig, i: int):
+    def bwd(p, x, gy, gcls):
+        # recompute-in-backward: the VJP recomputes the stage forward
+        # from its input, so no internal activations persist between
+        # the wavefronts (the single-device step's remat policy)
+        _, vjp_fn = jax.vjp(
+            lambda pp, xx: EncoderStage(cfg, i).apply({"params": pp}, xx),
+            p, x)
+        return vjp_fn((gy, gcls))
+
+    return jax.jit(bwd)
+
+
+@functools.lru_cache(maxsize=None)
+def _head_grad_jit(cfg: MiTConfig, loss_type: str, has_stats: bool):
+    def head_loss(params, feats, stats, masks):
+        v = {"params": params}
+        if has_stats:
+            v["batch_stats"] = stats
+        logits = DecodeHead(cfg).apply(v, list(feats), None)
+        pred = predict_masks(logits, masks.shape[1:3])
+        return losses.segmentation_loss(pred, masks, loss_type)
+
+    return jax.jit(jax.value_and_grad(head_loss, argnums=(0, 1)))
+
+
+def _nontrivial(mask):
+    """None if the mask pytree is absent or all-True (keeps the optax
+    transform cache key shared across stages with nothing frozen)."""
+    if mask is None:
+        return None
+    leaves = jax.tree.leaves(mask)
+    if all(bool(m) for m in leaves):
+        return None
+    return mask
+
+
 class PipelinedTrainer:
     """Stage-per-device supervised training (dice/BCE/MSE loss).
 
@@ -79,12 +129,22 @@ class PipelinedTrainer:
 
     def __init__(self, cfg: MiTConfig, variables: dict, tc: TrainConfig,
                  devices: Optional[Sequence[jax.Device]] = None,
-                 loss_type: str = "dice"):
+                 loss_type: str = "dice", trainable_mask=None):
         if cfg.use_cls:
             raise NotImplementedError(
                 "CLS-token configs: the carried-CLS edge into the decode "
                 "head is not wired through the pipeline backward; use the "
                 "data-parallel step")
+        if not tc.reference_quirks:
+            # The stage forwards below run deterministic/eval-mode — which
+            # IS the reference quirk. --no-quirks promises dropout/droppath
+            # + BN-stat updates, which would need rng and mutable-stats
+            # threading across stage boundaries; fail fast rather than
+            # silently handing the quirk semantics back.
+            raise NotImplementedError(
+                "pipeline training implements the reference-quirks "
+                "(eval-mode) training forward only; use the data-parallel "
+                "step for reference_quirks=False")
         self.cfg = cfg
         self.loss_type = loss_type
         devices = list(devices if devices is not None else jax.devices())
@@ -92,10 +152,19 @@ class PipelinedTrainer:
         self.stage_devices = [devices[i % len(devices)] for i in range(n)]
         self.head_device = devices[n % len(devices)]
 
+        # trainable_mask: the single-model bool pytree (api.SegFormerModel
+        # builds it for frozen stages and the untrained-prompt-token quirk);
+        # split per stage like the params so the pipeline optimizer freezes
+        # exactly what the single-device state freezes.
+        mask_enc = trainable_mask.get("encoder") if trainable_mask else None
         enc = variables["params"]["encoder"]
         self.stage_states: List[TrainState] = [
             jax.device_put(
-                TrainState.create({"params": _stage_params(enc, i)}, tc),
+                TrainState.create(
+                    {"params": _stage_params(enc, i)}, tc,
+                    trainable_mask=_nontrivial(
+                        _stage_params(mask_enc, i)
+                        if mask_enc is not None else None)),
                 self.stage_devices[i])
             for i in range(n)
         ]
@@ -104,39 +173,16 @@ class PipelinedTrainer:
         if stats:
             head_vars["batch_stats"] = stats["decode_head"]
         self.head_state = jax.device_put(
-            TrainState.create(head_vars, tc), self.head_device)
+            TrainState.create(
+                head_vars, tc,
+                trainable_mask=_nontrivial(
+                    trainable_mask.get("decode_head")
+                    if trainable_mask else None)),
+            self.head_device)
 
-        def stage_fwd(p, x, i):
-            return EncoderStage(cfg, i).apply({"params": p}, x)
-
-        self._stage_fwd = [
-            jax.jit(lambda p, x, i=i: stage_fwd(p, x, i))
-            for i in range(n)
-        ]
-
-        def stage_bwd(p, x, gy, gcls, i):
-            # recompute-in-backward: the VJP recomputes the stage forward
-            # from its input, so no internal activations persist between
-            # the wavefronts (the single-device step's remat policy)
-            _, vjp_fn = jax.vjp(lambda pp, xx: stage_fwd(pp, xx, i), p, x)
-            gp, gx = vjp_fn((gy, gcls))
-            return gp, gx
-
-        self._stage_bwd = [
-            jax.jit(lambda p, x, gy, gcls, i=i: stage_bwd(p, x, gy, gcls, i))
-            for i in range(n)
-        ]
-
-        def head_loss(params, feats, stats, masks):
-            v = {"params": params}
-            if stats:
-                v["batch_stats"] = stats
-            logits = DecodeHead(cfg).apply(v, list(feats), None)
-            pred = predict_masks(logits, masks.shape[1:3])
-            return losses.segmentation_loss(pred, masks, self.loss_type)
-
-        self._head_grad = jax.jit(
-            jax.value_and_grad(head_loss, argnums=(0, 1)))
+        self._stage_fwd = [_fwd_jit(cfg, i) for i in range(n)]
+        self._stage_bwd = [_bwd_jit(cfg, i) for i in range(n)]
+        self._head_grad = _head_grad_jit(cfg, loss_type, bool(stats))
 
     # ----------------------------------------------------------- helpers
     def merged_params(self) -> dict:
@@ -204,9 +250,13 @@ class PipelinedTrainer:
         return stage_gsums, head_gsum, loss_sum
 
     def _apply(self, stage_gsums: list, head_gsum: dict, loss_sum: Array,
-               denom: int) -> float:
+               denom: int) -> Array:
         """ONE optimizer update per stage from summed gradients over
-        `denom` microbatch contributions (mean-of-microbatch-grads)."""
+        `denom` microbatch contributions (mean-of-microbatch-grads).
+        Returns the mean loss as a LAZY device scalar — a float() here
+        would block the host on every stage update finishing before the
+        next batch's wavefront can dispatch (plus the ~32ms tunnel sync);
+        callers pick their own sync cadence (the CLIs: once per epoch)."""
         mean_loss = loss_sum / denom
         for i in range(self.cfg.num_stages):
             grads = jax.tree.map(lambda g: g / denom, stage_gsums[i])
@@ -215,15 +265,15 @@ class PipelinedTrainer:
         head_grads = jax.tree.map(lambda g: g / denom, head_gsum)
         self.head_state = self.head_state.apply_gradients(
             head_grads, mean_loss)
-        return float(mean_loss)
+        return mean_loss
 
     # -------------------------------------------------------------- step
     def step(self, images: Array, masks: Array, micro: int = 1
-             ) -> float:
+             ) -> Array:
         """One optimizer update from `micro` pipelined microbatches.
         Numerically equals `train_step(..., accum=micro)`. Returns the
-        mean loss (host float; the per-step sync is the caller's epoch
-        cadence concern, as in the CLIs)."""
+        mean loss as a lazy device scalar (sync cadence is the caller's
+        concern, as in the CLIs — see _apply)."""
         images = jnp.asarray(images)
         masks = jnp.asarray(masks)
         b = images.shape[0]
@@ -265,7 +315,7 @@ class DataParallelPipelinedTrainer:
     def __init__(self, cfg: MiTConfig, variables: dict, tc: TrainConfig,
                  dp: int = 2,
                  devices: Optional[Sequence[jax.Device]] = None,
-                 loss_type: str = "dice"):
+                 loss_type: str = "dice", trainable_mask=None):
         devices = list(devices if devices is not None else jax.devices())
         if dp < 1 or len(devices) % dp:
             raise ValueError(
@@ -274,7 +324,8 @@ class DataParallelPipelinedTrainer:
         groups = [devices[r * per:(r + 1) * per] for r in range(dp)]
         self.dp = dp
         self.pt = PipelinedTrainer(cfg, variables, tc, devices=groups[0],
-                                   loss_type=loss_type)
+                                   loss_type=loss_type,
+                                   trainable_mask=trainable_mask)
         n = cfg.num_stages
         self.rep_stage_devices = [
             [g[i % len(g)] for i in range(n)] for g in groups]
@@ -306,9 +357,10 @@ class DataParallelPipelinedTrainer:
     def merged_params(self) -> dict:
         return self.pt.merged_params()
 
-    def step(self, images: Array, masks: Array, micro: int = 1) -> float:
+    def step(self, images: Array, masks: Array, micro: int = 1) -> Array:
         """One update from dp x micro pipelined microbatches (batch shards
-        across replicas, then microbatches within each)."""
+        across replicas, then microbatches within each). Returns the mean
+        loss as a lazy device scalar (see PipelinedTrainer._apply)."""
         images = jnp.asarray(images)
         masks = jnp.asarray(masks)
         b = images.shape[0]

@@ -61,13 +61,19 @@ def _run(tmp, extra):
 
 
 def main() -> None:
+    import shutil
+
     tmp = tempfile.mkdtemp(prefix="sso_tpcoll_")
-    row_tp = _run(tmp, ["--parallel", "tp", "--tp", "2",
-                        "--ffn-impl", "collective"])
-    row_1 = _run(tmp, [])
-    delta = abs(float(row_tp["train_loss"]) - float(row_1["train_loss"]))
-    assert delta < 5e-2, (row_tp, row_1)
-    print(f"tp-collective-ok delta={delta:.2e}")
+    try:
+        row_tp = _run(tmp, ["--parallel", "tp", "--tp", "2",
+                            "--ffn-impl", "collective"])
+        row_1 = _run(tmp, [])
+        delta = abs(float(row_tp["train_loss"])
+                    - float(row_1["train_loss"]))
+        assert delta < 5e-2, (row_tp, row_1)
+        print(f"tp-collective-ok delta={delta:.2e}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -296,6 +296,18 @@ def test_cli_grad_accum_fail_fast():
     c.check_grad_accum(types.SimpleNamespace(grad_accum=1), loader(3))
     c.check_grad_accum(args, None)                     # predict mode: ok
 
+    # --parallel dp_pp shards batches dp-ways BEFORE microbatching, so
+    # the divisor is dp*accum — and applies even at --grad-accum 1
+    # (previously this crashed mid-run in DataParallelPipelinedTrainer).
+    dpp = types.SimpleNamespace(grad_accum=1, parallel="dp_pp", dp=2)
+    with pytest.raises(SystemExit, match="dp_pp"):
+        c.check_grad_accum(dpp, loader(9))
+    c.check_grad_accum(dpp, loader(8, n=8))            # 8 % (2*1): ok
+    dpp2 = types.SimpleNamespace(grad_accum=2, parallel="dp_pp", dp=2)
+    with pytest.raises(SystemExit, match="does not divide"):
+        c.check_grad_accum(dpp2, loader(6))            # 6 % 4 != 0
+    c.check_grad_accum(dpp2, loader(8, n=8))
+
 
 def test_accum_api_and_cli_flag(tmp_path):
     """--grad-accum threads through SegFormerModel into the jitted step."""

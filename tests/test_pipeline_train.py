@@ -118,6 +118,58 @@ def test_pipeline_rejects_cls_configs():
         PipelinedTrainer(cfg, variables, TrainConfig())
 
 
+def test_pipeline_rejects_no_quirks():
+    """The pipeline forwards run eval-mode, which IS the quirk semantics;
+    reference_quirks=False (train-mode dropout/BN updates) must fail fast
+    rather than silently training with quirk semantics."""
+    imgs, masks, variables = _setup(b=1)
+    with pytest.raises(NotImplementedError, match="quirks"):
+        PipelinedTrainer(TINY, variables,
+                         TrainConfig(reference_quirks=False))
+
+
+@needs8
+def test_pipeline_respects_trainable_mask():
+    """A prompt-token config's mask (untrained-prompt-token quirk) must
+    freeze the same params in the pipeline optimizer as in the
+    single-device state (api.py builds the mask; the trainer splits it
+    per stage)."""
+    from semisupervisedobjectdetection_tpu.train.state import (
+        frozen_stage_predicate,
+        trainable_mask_from,
+    )
+
+    cfg = TINY.replace(prompt_tokens=(2, 2, 2, 2))
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+    masks = jnp.asarray(rng.uniform(0, 1, (2, 64, 64)) > 0.5, jnp.float32)
+    variables = jax.jit(SegFormer(cfg).init)(jax.random.PRNGKey(0),
+                                             imgs[:1])
+    mask = trainable_mask_from(
+        variables["params"],
+        frozen_stage_predicate([], freeze_prompts=True))
+    before = jax.tree_util.tree_flatten_with_path(
+        jax.tree.map(np.asarray, variables["params"]))[0]
+
+    pt = PipelinedTrainer(cfg, variables, TrainConfig(lr=3e-3),
+                          trainable_mask=mask)
+    pt.step(imgs, masks, micro=1)
+    after = jax.tree_util.tree_flatten_with_path(pt.merged_params())[0]
+
+    frozen_checked = trained_moved = 0
+    for (kp, b), (_, a) in zip(before, after):
+        path = jax.tree_util.keystr(kp)
+        if "prompt_tokens_" in path:
+            np.testing.assert_array_equal(
+                np.asarray(b), np.asarray(a),
+                err_msg=f"frozen prompt param moved: {path}")
+            frozen_checked += 1
+        elif not np.array_equal(np.asarray(b), np.asarray(a)):
+            trained_moved += 1
+    assert frozen_checked >= 4, "no prompt params found"
+    assert trained_moved > 10, "trainable params did not update"
+
+
 @needs8
 def test_dp_pipeline_matches_accum_train_step():
     """dp x pp (2 replicas x 4 stages on 8 devices) must equal the
