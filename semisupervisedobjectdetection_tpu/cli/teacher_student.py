@@ -61,10 +61,11 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
     train_mode = tc.reference_quirks
     (teacher, student, start_epoch, best_s, best_t,
      rng) = _try_resume(args, teacher, student, ckpt_s, ckpt_t, rng)
-    if getattr(args, "parallel", "none") in ("pp", "dp_pp"):
-        print("warning: --parallel pp/dp_pp is supervised-CLI-only "
-              "(pipeline training drives one model); running "
-              "single-device")
+    pp_req = getattr(args, "parallel", "none")
+    if pp_req == "dp_pp" or (pp_req == "pp" and not args.ema_mode):
+        print("warning: --parallel pp here supports --ema-mode only "
+              "(parallel/pipeline_ema.py; dp_pp and the gradient-teacher "
+              "loop are supervised-CLI-only); running single-device")
     _, (teacher, student) = common.setup_parallel(
         args, (teacher, student), cfg)
 
@@ -195,6 +196,39 @@ def _ema_train_loop(args, dcfg, tc, loaders, cfg, logger, *, teacher,
     train_mode = tc.reference_quirks
     decay = jnp.asarray(args.ema)
     depth = getattr(args, "prefetch", 1)
+
+    # --parallel pp: stage-per-device EMA pipeline (pipeline_ema.py) —
+    # teacher+student stage params on their stage's device, optimizer
+    # state for the student only. Merged params sync back into the
+    # teacher/student TrainStates each epoch for eval/checkpointing.
+    trainer = None
+    if getattr(args, "parallel", "none") == "pp":
+        if args.int8_teacher:
+            raise SystemExit(
+                "--int8-teacher is not supported with --parallel pp "
+                "(the int8 teacher forward is a fused-step path)")
+        if train_mode:
+            raise SystemExit(
+                "--parallel pp EMA training implements eval-mode "
+                "forwards only; pass --no-quirks, or use the "
+                "single-device fused step for reference-quirks "
+                "train-mode forwards")
+        from semisupervisedobjectdetection_tpu.parallel.pipeline_ema \
+            import EmaPipelinedTrainer
+
+        trainer = EmaPipelinedTrainer(
+            cfg, teacher.variables(), student.variables(),
+            tc.replace(lr=float(student.base_lr)),
+            denoise_label=not args.no_denoise, threshold=threshold)
+        # resumed runs rebuild the trainer at epoch 0: fast-forward the
+        # exponential lr schedule (optimizer moments restart fresh — still
+        # strictly more than the reference, which never saves them)
+        for _ in range(start_epoch):
+            trainer.scheduler_step()
+        print(f"--parallel pp: EMA pipeline training, "
+              f"{cfg.num_stages} stages + head, "
+              f"micro={max(args.grad_accum, 1)}")
+
     for epoch in range(start_epoch, epochs):
         qvars = qcfg = None
         if args.int8_teacher:
@@ -210,7 +244,10 @@ def _ema_train_loop(args, dcfg, tc, loaders, cfg, logger, *, teacher,
                 loaders["train"], loaders["pseudo"], aug_rng, dcfg,
                 depth=depth)):
             r3 = jax.random.fold_in(step_rng_e, bi)
-            if args.int8_teacher:
+            if trainer is not None:
+                out = trainer.step(u_imgs, imgs, masks, sup_w, decay,
+                                   micro=max(args.grad_accum, 1))
+            elif args.int8_teacher:
                 out = ema_mod.ema_semi_step_int8(
                     qvars, teacher, student, u_imgs, imgs, masks, sup_w,
                     decay, cfg, qcfg,
@@ -225,10 +262,21 @@ def _ema_train_loop(args, dcfg, tc, loaders, cfg, logger, *, teacher,
                     threshold=threshold, train_mode=train_mode,
                     rng=r3 if train_mode else None,
                     accum=args.grad_accum)
-            teacher, student = out.teacher_state, out.student_state
+            if trainer is None:
+                teacher, student = out.teacher_state, out.student_state
             s_losses.append(out.student_loss_total)
             kept.append(out.n_kept)
             p_losses.append(out.pseudo_loss)
+        if trainer is not None:
+            # merge the per-stage params back for eval + checkpointing
+            trainer.scheduler_step()
+            student = student.replace(
+                params=trainer.merged_student_params())
+            tvars = trainer.merged_teacher_variables()
+            teacher = teacher.replace(
+                params=tvars["params"],
+                batch_stats=tvars.get("batch_stats",
+                                      teacher.batch_stats))
         teacher = teacher.scheduler_step()
         student = student.scheduler_step()
         s_losses = common.host_floats(s_losses)

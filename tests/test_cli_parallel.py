@@ -105,3 +105,37 @@ def test_ema_mode_parallel_dp(tmp_path):
         common.teardown_parallel()
     assert csv.exists()
     assert len(csv.read_text().splitlines()) >= 2
+
+
+@needs8
+def test_ema_mode_parallel_pp(tmp_path):
+    """Flagship EMA loop over the stage-per-device pipeline
+    (parallel/pipeline_ema.py): teacher+student stage params on their
+    own devices, student-only optimizer, per-stage EMA writes, merged
+    params synced back for eval/checkpointing. Eval-mode forwards only,
+    hence --no-quirks."""
+    import pytest as _pytest
+
+    from semisupervisedobjectdetection_tpu.cli import common
+    from semisupervisedobjectdetection_tpu.cli import (
+        teacher_student as cli_ts,
+    )
+
+    csv = tmp_path / "m.csv"
+    base = ARGS + ["--ema-mode", "--parallel", "pp",
+                   "--checkpoint-dir", str(tmp_path / "ck"),
+                   "--metrics-csv", str(csv)]
+    # quirks mode (train-mode forwards) must fail fast, not silently
+    # train with eval-mode semantics
+    with _pytest.raises(SystemExit, match="no-quirks"):
+        cli_ts.main(base)
+    try:
+        cli_ts.main(base + ["--no-quirks", "--grad-accum", "2"])
+    finally:
+        common.teardown_parallel()
+    assert csv.exists()
+    lines = csv.read_text().splitlines()
+    assert len(lines) >= 2, lines
+    row = dict(zip(lines[0].split(","), lines[1].split(",")))
+    assert np.isfinite(float(row["train_loss"]))
+    assert np.isfinite(float(row["eval_loss"]))
