@@ -306,7 +306,8 @@ def ensure_data(args, dcfg: DataConfig, need_unlabeled: bool = False
     return dcfg.replace(**upd)
 
 
-def check_grad_accum(args, train_loader) -> None:
+def check_grad_accum(args, train_loader, dp_pp_capable: bool = False
+                     ) -> None:
     """Fail fast on a batch the training step cannot divide.
 
     The jitted steps raise ValueError mid-trace on a non-divisible batch —
@@ -314,13 +315,16 @@ def check_grad_accum(args, train_loader) -> None:
     The required divisor is --grad-accum (microbatching), times --dp under
     `--parallel dp_pp` (the pipelined trainer shards batches across dp
     replica groups THEN into micro=grad-accum microbatches, so the step
-    needs batch % (dp*micro) == 0 even at grad-accum 1). Three ways a bad
-    batch reaches the step: --batch-size is not a multiple of the divisor;
+    needs batch % (dp*micro) == 0 even at grad-accum 1) — but only on
+    CLIs that actually construct the dp x pp trainer (`dp_pp_capable`;
+    the others print a fallback warning and run single-device, where the
+    dp factor must not reject valid configs). Three ways a bad batch
+    reaches the step: --batch-size is not a multiple of the divisor;
     the tiny-dataset clamp in `make_loaders` shrank the batch below the
     requested size; or drop_last=False leaves a partial final batch."""
     accum = max(getattr(args, "grad_accum", 1), 1)
     div, label = accum, f"--grad-accum {accum}"
-    if getattr(args, "parallel", "none") == "dp_pp":
+    if dp_pp_capable and getattr(args, "parallel", "none") == "dp_pp":
         dp = max(1, getattr(args, "dp", 2))
         div = accum * dp
         label = f"--parallel dp_pp (dp={dp} x --grad-accum {accum})"

@@ -127,8 +127,13 @@ def train_loop(model: SegFormerModel, loaders, dcfg, tc, args,
             train_losses.append(loss)
         if trainer is not None:
             trainer.scheduler_step()
+            # merged_params() is a host tree: commit it to one device NOW
+            # so the jitted eval below doesn't re-upload the full param
+            # tree every eval batch (at B5 scale that is ~300MB/batch
+            # through the tunnel)
             model.state = model.state.replace(
-                params=trainer.merged_params())
+                params=jax.device_put(trainer.merged_params(),
+                                      jax.devices()[0]))
         else:
             model.scheduler_step()
         train_losses = common.host_floats(train_losses)
@@ -208,7 +213,8 @@ def main(argv=None):
         dcfg = common.ensure_data(args, dcfg)
         loaders = common.make_loaders(dcfg, args.seed)
         if not args.predict:
-            common.check_grad_accum(args, loaders["train"])
+            common.check_grad_accum(args, loaders["train"],
+                                    dp_pp_capable=True)
     cfg = MIT_VARIANTS[args.variant](dtype=args.dtype)
     cfg = common.apply_perf_preset(cfg, args)
     logger = MetricLogger(args.metrics_csv)
@@ -228,7 +234,7 @@ def main(argv=None):
                 va, min(dcfg.batch_size, max(len(va), 1)), dcfg,
                 args.seed),
         }
-        common.check_grad_accum(args, sub["train"])
+        common.check_grad_accum(args, sub["train"], dp_pp_capable=True)
         for lr in [float(x) for x in args.tune_lr.split(",")]:
             model = SegFormerModel(lr=lr, train_config=tc, config=cfg,
                                    grad_accum=args.grad_accum)

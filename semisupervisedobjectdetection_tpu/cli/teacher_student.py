@@ -268,11 +268,16 @@ def _ema_train_loop(args, dcfg, tc, loaders, cfg, logger, *, teacher,
             kept.append(out.n_kept)
             p_losses.append(out.pseudo_loss)
         if trainer is not None:
-            # merge the per-stage params back for eval + checkpointing
+            # merge the per-stage params back for eval + checkpointing;
+            # committed to one device so the jitted eval below ships each
+            # model's params host->device ONCE per epoch, not per batch
             trainer.scheduler_step()
+            dev0 = jax.devices()[0]
             student = student.replace(
-                params=trainer.merged_student_params())
-            tvars = trainer.merged_teacher_variables()
+                params=jax.device_put(trainer.merged_student_params(),
+                                      dev0))
+            tvars = jax.device_put(trainer.merged_teacher_variables(),
+                                   dev0)
             teacher = teacher.replace(
                 params=tvars["params"],
                 batch_stats=tvars.get("batch_stats",

@@ -57,7 +57,9 @@ from semisupervisedobjectdetection_tpu.parallel.pipeline import (
 )
 from semisupervisedobjectdetection_tpu.parallel.pipeline_train import (
     _bwd_jit,
+    _drain_backward,
     _fwd_jit,
+    _merge_stage_params,
     _nontrivial,
 )
 from semisupervisedobjectdetection_tpu.train import pseudo
@@ -147,6 +149,17 @@ class EmaPipelinedTrainer:
                 "CLS-token configs: the carried-CLS edge into the decode "
                 "head is not wired through the pipeline backward; use the "
                 "fused single-device EMA step")
+        if tc.reference_quirks:
+            # In EMA mode the reference QUIRK is train-mode forwards
+            # (`segFormer_semi_teacherstudent_main.py:77-78`, the inverse
+            # of the supervised quirk); this trainer runs eval-mode
+            # forwards (the improved/benched semantics), so a quirks
+            # TrainConfig must fail fast, not silently train differently.
+            raise NotImplementedError(
+                "pipelined EMA training implements eval-mode forwards "
+                "(reference_quirks=False semantics) only; use the fused "
+                "single-device ema_semi_step for quirks train-mode "
+                "forwards")
         self.cfg = cfg
         self.denoise_label = bool(denoise_label)
         self.threshold = float(threshold)
@@ -205,11 +218,8 @@ class EmaPipelinedTrainer:
 
     # ----------------------------------------------------------- helpers
     def merged_student_params(self) -> dict:
-        enc = {}
-        for st in self.stage_states:
-            enc.update(jax.device_get(st.params))
-        return {"encoder": enc,
-                "decode_head": jax.device_get(self.head_state.params)}
+        return _merge_stage_params(self.stage_states,
+                                   self.head_state.params)
 
     def merged_teacher_variables(self) -> dict:
         enc = {}
@@ -304,16 +314,11 @@ class EmaPipelinedTrainer:
             head_gsum = (g_head if head_gsum is None else
                          jax.tree.map(jnp.add, head_gsum, g_head))
 
-            # 4) student backward wavefront
-            gx_next = None
-            for i in reversed(range(n)):
-                gy = jax.device_put(g_feats[i], self.stage_devices[i])
-                if gx_next is not None:
-                    gy = gy + jax.device_put(gx_next, self.stage_devices[i])
-                gp, gx_next = self._stage_bwd[i](
-                    self.stage_states[i].params, xs[i], gy, None)
-                stage_gsums[i] = (gp if stage_gsums[i] is None else
-                                  jax.tree.map(jnp.add, stage_gsums[i], gp))
+            # 4) student backward wavefront (shared drain helper — one
+            # place owns the cotangent summing / device-hop order)
+            _drain_backward(self._stage_bwd, self.stage_devices,
+                            [st.params for st in self.stage_states],
+                            xs, g_feats, stage_gsums)
 
         # ONE optimizer update per stage + ONE EMA write
         total = sums["total"] / micro

@@ -118,6 +118,33 @@ def _nontrivial(mask):
     return mask
 
 
+def _drain_backward(stage_bwd, stage_devices, stage_params, xs, g_feats,
+                    stage_gsums):
+    """One microbatch's backward wavefront: walk the stages in reverse,
+    summing each stage's head-side feature cotangent with the downstream
+    stage's input cotangent, and accumulate parameter gradients into
+    `stage_gsums` (mutated in place; None entries start fresh). Shared by
+    the supervised (`PipelinedTrainer`) and EMA (`pipeline_ema`) trainers
+    so the cotangent summing / device-hop order lives in ONE place."""
+    gx_next = None
+    for i in reversed(range(len(stage_params))):
+        gy = jax.device_put(g_feats[i], stage_devices[i])
+        if gx_next is not None:
+            gy = gy + jax.device_put(gx_next, stage_devices[i])
+        gp, gx_next = stage_bwd[i](stage_params[i], xs[i], gy, None)
+        stage_gsums[i] = (gp if stage_gsums[i] is None else
+                          jax.tree.map(jnp.add, stage_gsums[i], gp))
+
+
+def _merge_stage_params(stage_states, head_params) -> dict:
+    """Reassemble the single-model params tree from per-stage TrainStates
+    + the head's params (host-side; eval sync, tests, checkpointing)."""
+    enc = {}
+    for st in stage_states:
+        enc.update(jax.device_get(st.params))
+    return {"encoder": enc, "decode_head": jax.device_get(head_params)}
+
+
 class PipelinedTrainer:
     """Stage-per-device supervised training (dice/BCE/MSE loss).
 
@@ -188,11 +215,8 @@ class PipelinedTrainer:
     def merged_params(self) -> dict:
         """Reassemble the single-model params tree (host-side; tests and
         checkpointing)."""
-        enc = {}
-        for st in self.stage_states:
-            enc.update(jax.device_get(st.params))
-        return {"encoder": enc,
-                "decode_head": jax.device_get(self.head_state.params)}
+        return _merge_stage_params(self.stage_states,
+                                   self.head_state.params)
 
     # ------------------------------------------------------- wavefronts
     def _wavefronts(self, images: Array, masks: Array, micro: int,
@@ -238,15 +262,8 @@ class PipelinedTrainer:
             head_gsum = (g_head if head_gsum is None else
                          jax.tree.map(jnp.add, head_gsum, g_head))
 
-            gx_next = None
-            for i in reversed(range(n)):
-                gy = jax.device_put(g_feats[i], stage_devices[i])
-                if gx_next is not None:
-                    gy = gy + jax.device_put(gx_next, stage_devices[i])
-                gp, gx_next = self._stage_bwd[i](
-                    stage_params[i], xs[i], gy, None)
-                stage_gsums[i] = (gp if stage_gsums[i] is None else
-                                  jax.tree.map(jnp.add, stage_gsums[i], gp))
+            _drain_backward(self._stage_bwd, stage_devices, stage_params,
+                            xs, g_feats, stage_gsums)
         return stage_gsums, head_gsum, loss_sum
 
     def _apply(self, stage_gsums: list, head_gsum: dict, loss_sum: Array,

@@ -108,34 +108,24 @@ def test_ema_mode_parallel_dp(tmp_path):
 
 
 @needs8
-def test_ema_mode_parallel_pp(tmp_path):
+def test_ema_mode_parallel_pp():
     """Flagship EMA loop over the stage-per-device pipeline
     (parallel/pipeline_ema.py): teacher+student stage params on their
     own devices, student-only optimizer, per-stage EMA writes, merged
-    params synced back for eval/checkpointing. Eval-mode forwards only,
-    hence --no-quirks."""
-    import pytest as _pytest
+    params synced back for eval/checkpointing. Eval-mode forwards only
+    (--no-quirks; the quirks config must fail fast).
 
-    from semisupervisedobjectdetection_tpu.cli import common
-    from semisupervisedobjectdetection_tpu.cli import (
-        teacher_student as cli_ts,
-    )
+    Runs in a fresh interpreter (tests/_ema_pp_cli_main.py): the pp EMA
+    CLI compiles a fresh set of stage/head executables, the profile of
+    the XLA:CPU compile-cache serializer segfault in long-lived xdist
+    workers (CLAUDE.md round-3 hazard)."""
+    import os
+    import subprocess
+    import sys
 
-    csv = tmp_path / "m.csv"
-    base = ARGS + ["--ema-mode", "--parallel", "pp",
-                   "--checkpoint-dir", str(tmp_path / "ck"),
-                   "--metrics-csv", str(csv)]
-    # quirks mode (train-mode forwards) must fail fast, not silently
-    # train with eval-mode semantics
-    with _pytest.raises(SystemExit, match="no-quirks"):
-        cli_ts.main(base)
-    try:
-        cli_ts.main(base + ["--no-quirks", "--grad-accum", "2"])
-    finally:
-        common.teardown_parallel()
-    assert csv.exists()
-    lines = csv.read_text().splitlines()
-    assert len(lines) >= 2, lines
-    row = dict(zip(lines[0].split(","), lines[1].split(",")))
-    assert np.isfinite(float(row["train_loss"]))
-    assert np.isfinite(float(row["eval_loss"]))
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "_ema_pp_cli_main.py")
+    proc = subprocess.run([sys.executable, script], env=dict(os.environ),
+                          capture_output=True, text=True, timeout=1800)
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    assert "ema-pp-cli-ok" in proc.stdout

@@ -299,14 +299,18 @@ def test_cli_grad_accum_fail_fast():
     # --parallel dp_pp shards batches dp-ways BEFORE microbatching, so
     # the divisor is dp*accum — and applies even at --grad-accum 1
     # (previously this crashed mid-run in DataParallelPipelinedTrainer).
+    # Only the supervised CLI constructs the dp x pp trainer; it passes
+    # dp_pp_capable=True. CLIs that fall back to single-device must NOT
+    # get the dp factor (a valid accum-only config would be rejected).
     dpp = types.SimpleNamespace(grad_accum=1, parallel="dp_pp", dp=2)
     with pytest.raises(SystemExit, match="dp_pp"):
-        c.check_grad_accum(dpp, loader(9))
-    c.check_grad_accum(dpp, loader(8, n=8))            # 8 % (2*1): ok
-    dpp2 = types.SimpleNamespace(grad_accum=2, parallel="dp_pp", dp=2)
+        c.check_grad_accum(dpp, loader(9), dp_pp_capable=True)
+    c.check_grad_accum(dpp, loader(9))                 # fallback CLI: ok
+    c.check_grad_accum(dpp, loader(8, n=8), dp_pp_capable=True)
+    dpp2 = types.SimpleNamespace(grad_accum=3, parallel="dp_pp", dp=2)
     with pytest.raises(SystemExit, match="does not divide"):
-        c.check_grad_accum(dpp2, loader(6))            # 6 % 4 != 0
-    c.check_grad_accum(dpp2, loader(8, n=8))
+        c.check_grad_accum(dpp2, loader(9), dp_pp_capable=True)  # 9 % 6
+    c.check_grad_accum(dpp2, loader(9, n=9))           # fallback: 9 % 3 ok
 
 
 def test_accum_api_and_cli_flag(tmp_path):
