@@ -4,6 +4,9 @@ from semisupervisedobjectdetection_tpu.parallel.collective import (  # noqa: F40
     mixffn_collective,
     sequence_parallel_ffn,
 )
+from semisupervisedobjectdetection_tpu.parallel.pipeline_ema import (  # noqa: F401,E501
+    EmaPipelinedTrainer,
+)
 from semisupervisedobjectdetection_tpu.parallel.pipeline_train import (  # noqa: F401,E501
     DataParallelPipelinedTrainer,
     PipelinedTrainer,
