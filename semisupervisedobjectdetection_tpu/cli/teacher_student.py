@@ -62,10 +62,10 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
     (teacher, student, start_epoch, best_s, best_t,
      rng) = _try_resume(args, teacher, student, ckpt_s, ckpt_t, rng)
     pp_req = getattr(args, "parallel", "none")
-    if pp_req == "dp_pp" or (pp_req == "pp" and not args.ema_mode):
-        print("warning: --parallel pp here supports --ema-mode only "
-              "(parallel/pipeline_ema.py; dp_pp and the gradient-teacher "
-              "loop are supervised-CLI-only); running single-device")
+    if pp_req in ("pp", "dp_pp") and not args.ema_mode:
+        print("warning: --parallel pp/dp_pp here supports --ema-mode "
+              "only (parallel/pipeline_ema.py; the gradient-teacher loop "
+              "is supervised-CLI-only); running single-device")
     _, (teacher, student) = common.setup_parallel(
         args, (teacher, student), cfg)
 
@@ -197,37 +197,48 @@ def _ema_train_loop(args, dcfg, tc, loaders, cfg, logger, *, teacher,
     decay = jnp.asarray(args.ema)
     depth = getattr(args, "prefetch", 1)
 
-    # --parallel pp: stage-per-device EMA pipeline (pipeline_ema.py) —
-    # teacher+student stage params on their stage's device, optimizer
-    # state for the student only. Merged params sync back into the
-    # teacher/student TrainStates each epoch for eval/checkpointing.
+    # --parallel pp / dp_pp: stage-per-device EMA pipeline
+    # (pipeline_ema.py) — teacher+student stage params on their stage's
+    # device, optimizer state for the student only; dp_pp composes
+    # --dp replica groups of that pipeline. Merged params sync back into
+    # the teacher/student TrainStates each epoch for eval/checkpointing.
     trainer = None
-    if getattr(args, "parallel", "none") == "pp":
+    pp_mode = getattr(args, "parallel", "none")
+    if pp_mode in ("pp", "dp_pp"):
         if args.int8_teacher:
             raise SystemExit(
-                "--int8-teacher is not supported with --parallel pp "
-                "(the int8 teacher forward is a fused-step path)")
+                f"--int8-teacher is not supported with --parallel "
+                f"{pp_mode} (the int8 teacher forward is a fused-step "
+                f"path)")
         if train_mode:
             raise SystemExit(
-                "--parallel pp EMA training implements eval-mode "
+                f"--parallel {pp_mode} EMA training implements eval-mode "
                 "forwards only; pass --no-quirks, or use the "
                 "single-device fused step for reference-quirks "
                 "train-mode forwards")
         from semisupervisedobjectdetection_tpu.parallel.pipeline_ema \
-            import EmaPipelinedTrainer
+            import DataParallelEmaPipelinedTrainer, EmaPipelinedTrainer
 
-        trainer = EmaPipelinedTrainer(
-            cfg, teacher.variables(), student.variables(),
-            tc.replace(lr=float(student.base_lr)),
-            denoise_label=not args.no_denoise, threshold=threshold)
+        tc_pp = tc.replace(lr=float(student.base_lr))
+        kw = dict(denoise_label=not args.no_denoise, threshold=threshold)
+        if pp_mode == "pp":
+            trainer = EmaPipelinedTrainer(
+                cfg, teacher.variables(), student.variables(), tc_pp,
+                **kw)
+        else:
+            trainer = DataParallelEmaPipelinedTrainer(
+                cfg, teacher.variables(), student.variables(), tc_pp,
+                dp=max(1, getattr(args, "dp", 2)), **kw)
         # resumed runs rebuild the trainer at epoch 0: fast-forward the
         # exponential lr schedule (optimizer moments restart fresh — still
         # strictly more than the reference, which never saves them)
         for _ in range(start_epoch):
             trainer.scheduler_step()
-        print(f"--parallel pp: EMA pipeline training, "
-              f"{cfg.num_stages} stages + head, "
-              f"micro={max(args.grad_accum, 1)}")
+        print(f"--parallel {pp_mode}: EMA pipeline training, "
+              f"{cfg.num_stages} stages + head"
+              + (f" x {trainer.dp} replica groups"
+                 if pp_mode == "dp_pp" else "")
+              + f", micro={max(args.grad_accum, 1)}")
 
     for epoch in range(start_epoch, epochs):
         qvars = qcfg = None
@@ -399,9 +410,12 @@ def main(argv=None):
                                   flags=("train", "eval", "pseudo"))
     if args.ema_mode:
         # the EMA step microbatches BOTH halves of the (unlabeled,
-        # labeled) pair — validate each loader's effective batch
-        common.check_grad_accum(args, loaders["train"])
-        common.check_grad_accum(args, loaders["pseudo"])
+        # labeled) pair — validate each loader's effective batch;
+        # --parallel dp_pp additionally shards each dp-ways first
+        common.check_grad_accum(args, loaders["train"],
+                                dp_pp_capable=True)
+        common.check_grad_accum(args, loaders["pseudo"],
+                                dp_pp_capable=True)
     else:
         common.warn_grad_accum_ignored(
             args, "two-gradient-model teacher-student loop")

@@ -5,6 +5,7 @@ from semisupervisedobjectdetection_tpu.parallel.collective import (  # noqa: F40
     sequence_parallel_ffn,
 )
 from semisupervisedobjectdetection_tpu.parallel.pipeline_ema import (  # noqa: F401,E501
+    DataParallelEmaPipelinedTrainer,
     EmaPipelinedTrainer,
 )
 from semisupervisedobjectdetection_tpu.parallel.pipeline_train import (  # noqa: F401,E501

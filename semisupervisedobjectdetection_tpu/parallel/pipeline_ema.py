@@ -234,19 +234,24 @@ class EmaPipelinedTrainer:
         return out
 
     def _encoder_wavefront(self, params: Sequence[dict], x: Array,
-                           keep_inputs: bool):
-        """Run one batch through the encoder stages on their devices.
+                           keep_inputs: bool, stage_devices=None,
+                           head_device=None):
+        """Run one batch through the encoder stages on the given devices
+        (defaults: this trainer's — a dp replica passes its own group;
+        the compiled stage callables dispatch wherever the args live).
         Returns (feats on head device, per-stage inputs or None)."""
+        stage_devices = stage_devices or self.stage_devices
+        head_device = head_device or self.head_device
         xs = [] if keep_inputs else None
         feats = []
-        x = jax.device_put(x, self.stage_devices[0])
+        x = jax.device_put(x, stage_devices[0])
         for i in range(self.cfg.num_stages):
             if i > 0:
-                x = jax.device_put(x, self.stage_devices[i])
+                x = jax.device_put(x, stage_devices[i])
             if keep_inputs:
                 xs.append(x)
             x, _ = self._stage_fwd[i](params[i], x)
-            feats.append(jax.device_put(x, self.head_device))
+            feats.append(jax.device_put(x, head_device))
         return feats, xs
 
     # -------------------------------------------------------------- step
@@ -272,11 +277,32 @@ class EmaPipelinedTrainer:
                 f"{images.shape[1:]} spatial shapes must match for the "
                 f"pipelined EMA step (use the fused single-device step "
                 f"for mixed-shape batches)")
+        stage_gsums, head_gsum, sums, p_masks = self._replica_pass(
+            unlabeled, images, ground_truth, micro, supervise_weight,
+            self.teacher_stage_params, self.teacher_head_params,
+            self.teacher_head_stats,
+            [st.params for st in self.stage_states],
+            self.head_state.params, self.head_state.batch_stats,
+            self.stage_devices, self.head_device)
+        return self._apply_and_ema(stage_gsums, head_gsum, sums, p_masks,
+                                   micro, ema_decay)
+
+    def _replica_pass(self, unlabeled: Array, images: Array,
+                      ground_truth: Array, micro: int, supervise_weight,
+                      t_stage_params, t_head_params, t_head_stats,
+                      s_stage_params, s_head_params, s_head_stats,
+                      stage_devices, head_device):
+        """`micro` microbatch-pair wavefronts with the given parameters /
+        devices (device-agnostic, like `PipelinedTrainer._wavefronts` — a
+        dp replica reuses the compiled callables on its own device group).
+        Returns (stage grad sums, head grad sum, pooled loss/pseudo sums,
+        per-microbatch pseudo masks); no optimizer update or EMA write."""
+        bu, bl = unlabeled.shape[0], images.shape[0]
         mu, ml = bu // micro, bl // micro
         n = self.cfg.num_stages
         hw = tuple(ground_truth.shape[1:3])
         sup_w = jax.device_put(jnp.asarray(supervise_weight, jnp.float32),
-                               self.head_device)
+                               head_device)
         head_phase = _head_phase_jit(
             self.cfg, self._has_stats, hw, mu, self.denoise_label,
             self.threshold, self.confident_threshold)
@@ -290,23 +316,23 @@ class EmaPipelinedTrainer:
             u_mb = unlabeled[s * mu:(s + 1) * mu]
             l_mb = images[s * ml:(s + 1) * ml]
             g_mb = jax.device_put(ground_truth[s * ml:(s + 1) * ml],
-                                  self.head_device)
+                                  head_device)
 
             # 1) teacher wavefront over concat(unlabeled, labeled)
             t_feats, _ = self._encoder_wavefront(
-                self.teacher_stage_params,
-                jnp.concatenate([u_mb, l_mb], axis=0), keep_inputs=False)
+                t_stage_params,
+                jnp.concatenate([u_mb, l_mb], axis=0), keep_inputs=False,
+                stage_devices=stage_devices, head_device=head_device)
             # 2) student forward wavefront (keep recompute anchors)
             s_feats, xs = self._encoder_wavefront(
-                [st.params for st in self.stage_states], l_mb,
-                keep_inputs=True)
+                s_stage_params, l_mb, keep_inputs=True,
+                stage_devices=stage_devices, head_device=head_device)
             # 3) fused head phase: teacher head + pseudo + denoise +
             #    student head loss/grads
             (total, sup, self_sup, p_sum, kept, pmask, g_head,
              g_feats) = head_phase(
-                self.teacher_head_params, self.teacher_head_stats,
-                tuple(t_feats), self.head_state.params,
-                self.head_state.batch_stats, tuple(s_feats), g_mb, sup_w)
+                t_head_params, t_head_stats, tuple(t_feats),
+                s_head_params, s_head_stats, tuple(s_feats), g_mb, sup_w)
             p_masks.append(pmask)
             for k, v in zip(("total", "sup", "self", "p_sum", "kept"),
                             (total, sup, self_sup, p_sum, kept)):
@@ -316,22 +342,26 @@ class EmaPipelinedTrainer:
 
             # 4) student backward wavefront (shared drain helper — one
             # place owns the cotangent summing / device-hop order)
-            _drain_backward(self._stage_bwd, self.stage_devices,
-                            [st.params for st in self.stage_states],
-                            xs, g_feats, stage_gsums)
+            _drain_backward(self._stage_bwd, stage_devices,
+                            s_stage_params, xs, g_feats, stage_gsums)
+        return stage_gsums, head_gsum, sums, p_masks
 
-        # ONE optimizer update per stage + ONE EMA write
-        total = sums["total"] / micro
+    def _apply_and_ema(self, stage_gsums, head_gsum, sums, p_masks,
+                       denom: int, ema_decay) -> EmaPipeStepOut:
+        """ONE optimizer update per stage from gradients summed over
+        `denom` microbatch contributions, then ONE per-stage EMA write."""
+        n = self.cfg.num_stages
+        total = sums["total"] / denom
         decay = jnp.asarray(ema_decay, jnp.float32)
         ema = _ema_write_jit()
         for i in range(n):
-            grads = jax.tree.map(lambda g: g / micro, stage_gsums[i])
+            grads = jax.tree.map(lambda g: g / denom, stage_gsums[i])
             self.stage_states[i] = self.stage_states[i].apply_gradients(
                 grads, jax.device_put(total, self.stage_devices[i]))
             self.teacher_stage_params[i] = ema(
                 self.teacher_stage_params[i], self.stage_states[i].params,
                 jax.device_put(decay, self.stage_devices[i]))
-        head_grads = jax.tree.map(lambda g: g / micro, head_gsum)
+        head_grads = jax.tree.map(lambda g: g / denom, head_gsum)
         self.head_state = self.head_state.apply_gradients(head_grads, total)
         d_head = jax.device_put(decay, self.head_device)
         self.teacher_head_params = ema(
@@ -346,8 +376,8 @@ class EmaPipelinedTrainer:
             n_kept > 0, sums["p_sum"] / jnp.maximum(n_kept, 1.0), jnp.nan)
         return EmaPipeStepOut(
             student_loss_total=total,
-            student_sup_loss=sums["sup"] / micro,
-            self_supervise_loss=sums["self"] / micro,
+            student_sup_loss=sums["sup"] / denom,
+            self_supervise_loss=sums["self"] / denom,
             pseudo_loss=pseudo_loss, n_kept=n_kept,
             pseudo_mask=jnp.concatenate(p_masks, axis=0))
 
@@ -355,3 +385,134 @@ class EmaPipelinedTrainer:
         self.stage_states = [st.scheduler_step()
                              for st in self.stage_states]
         self.head_state = self.head_state.scheduler_step()
+
+
+class DataParallelEmaPipelinedTrainer:
+    """2D dp x pp for the EMA workload: `dp` replicas of the
+    stage-per-device EMA pipeline, one student optimizer, one EMA write.
+
+    The device list splits into `dp` groups; group 0 owns the single
+    `EmaPipelinedTrainer` (student stage TrainStates + teacher param
+    trees), groups 1..dp-1 hold read-only mirrors of BOTH models. Each
+    step shards the (unlabeled, labeled) batch pair across replicas,
+    every replica runs its own wavefronts on its devices, student
+    gradient sums and pooled loss/pseudo stats reduce onto group 0, ONE
+    update applies the dp x micro microbatch-mean gradient, ONE EMA write
+    moves the teacher, and the updated params re-mirror. Numerically
+    `ema_semi_step(accum=dp*micro, train_mode=False)` — the same
+    contract as `DataParallelPipelinedTrainer` scaled to the flagship
+    workload (asserted by tests/test_pipeline_ema.py)."""
+
+    def __init__(self, cfg: MiTConfig, teacher_variables: dict,
+                 student_variables: dict, tc: TrainConfig, dp: int = 2,
+                 devices: Optional[Sequence[jax.Device]] = None,
+                 **kw):
+        devices = list(devices if devices is not None else jax.devices())
+        if dp < 1 or len(devices) % dp:
+            raise ValueError(
+                f"{len(devices)} devices not divisible into dp={dp} groups")
+        per = len(devices) // dp
+        groups = [devices[r * per:(r + 1) * per] for r in range(dp)]
+        self.dp = dp
+        self.pt = EmaPipelinedTrainer(cfg, teacher_variables,
+                                      student_variables, tc,
+                                      devices=groups[0], **kw)
+        n = cfg.num_stages
+        self.rep_stage_devices = [
+            [g[i % len(g)] for i in range(n)] for g in groups]
+        self.rep_head_devices = [g[n % len(g)] for g in groups]
+        self._mirror()
+
+    def _mirror(self) -> None:
+        """Copy group 0's current teacher AND student params (and head
+        stats) to every other replica's devices."""
+        pt = self.pt
+        n = pt.cfg.num_stages
+        self._rep = []      # per replica: dict of mirrored trees
+        for r in range(1, self.dp):
+            sd = self.rep_stage_devices[r]
+            hd = self.rep_head_devices[r]
+            self._rep.append(dict(
+                t_stage=[jax.device_put(pt.teacher_stage_params[i], sd[i])
+                         for i in range(n)],
+                t_head=jax.device_put(pt.teacher_head_params, hd),
+                t_stats=(jax.device_put(pt.teacher_head_stats, hd)
+                         if pt.teacher_head_stats else
+                         pt.teacher_head_stats),
+                s_stage=[jax.device_put(pt.stage_states[i].params, sd[i])
+                         for i in range(n)],
+                s_head=jax.device_put(pt.head_state.params, hd),
+                s_stats=(jax.device_put(pt.head_state.batch_stats, hd)
+                         if pt.head_state.batch_stats else
+                         pt.head_state.batch_stats),
+            ))
+
+    def merged_student_params(self) -> dict:
+        return self.pt.merged_student_params()
+
+    def merged_teacher_variables(self) -> dict:
+        return self.pt.merged_teacher_variables()
+
+    def step(self, unlabeled: Array, images: Array, ground_truth: Array,
+             supervise_weight, ema_decay, micro: int = 1
+             ) -> EmaPipeStepOut:
+        """One EMA update from dp x micro pipelined microbatch pairs
+        (both batches shard across replicas, then microbatch within)."""
+        unlabeled = jnp.asarray(unlabeled)
+        images = jnp.asarray(images)
+        ground_truth = jnp.asarray(ground_truth)
+        bu, bl = unlabeled.shape[0], images.shape[0]
+        if bu % (self.dp * micro) or bl % (self.dp * micro):
+            raise ValueError(
+                f"batches ({bu} unlabeled, {bl} labeled) not divisible "
+                f"by dp*micro={self.dp}*{micro}")
+        su, sl = bu // self.dp, bl // self.dp
+        pt = self.pt
+        n = pt.cfg.num_stages
+
+        results = []
+        for r in range(self.dp):
+            if r == 0:
+                t_stage, t_head, t_stats = (pt.teacher_stage_params,
+                                            pt.teacher_head_params,
+                                            pt.teacher_head_stats)
+                s_stage = [st.params for st in pt.stage_states]
+                s_head, s_stats = (pt.head_state.params,
+                                   pt.head_state.batch_stats)
+            else:
+                m = self._rep[r - 1]
+                t_stage, t_head, t_stats = (m["t_stage"], m["t_head"],
+                                            m["t_stats"])
+                s_stage, s_head, s_stats = (m["s_stage"], m["s_head"],
+                                            m["s_stats"])
+            results.append(pt._replica_pass(
+                unlabeled[r * su:(r + 1) * su],
+                images[r * sl:(r + 1) * sl],
+                ground_truth[r * sl:(r + 1) * sl], micro,
+                supervise_weight, t_stage, t_head, t_stats,
+                s_stage, s_head, s_stats,
+                self.rep_stage_devices[r], self.rep_head_devices[r]))
+
+        # reduce replica grad sums + pooled stats onto group 0's devices
+        stage_gsums, head_gsum, sums, p_masks = results[0]
+        for r in range(1, self.dp):
+            sg, hg, sm, pm = results[r]
+            for i in range(n):
+                stage_gsums[i] = jax.tree.map(
+                    lambda a, b, i=i: a + jax.device_put(
+                        b, pt.stage_devices[i]),
+                    stage_gsums[i], sg[i])
+            head_gsum = jax.tree.map(
+                lambda a, b: a + jax.device_put(b, pt.head_device),
+                head_gsum, hg)
+            for k in sums:
+                sums[k] = sums[k] + jax.device_put(sm[k], pt.head_device)
+            p_masks.extend(jax.device_put(x, pt.head_device) for x in pm)
+
+        out = pt._apply_and_ema(stage_gsums, head_gsum, sums, p_masks,
+                                self.dp * micro, ema_decay)
+        self._mirror()
+        return out
+
+    def scheduler_step(self) -> None:
+        self.pt.scheduler_step()

@@ -64,6 +64,22 @@ def main() -> None:
         row = dict(zip(lines[0].split(","), lines[1].split(",")))
         assert np.isfinite(float(row["train_loss"]))
         assert np.isfinite(float(row["eval_loss"]))
+
+        # dp x pp composition from the CLI (2 replica groups x 4 stages)
+        csv2 = os.path.join(tmp, "m2.csv")
+        try:
+            cli_ts.main(ARGS + ["--ema-mode", "--parallel", "dp_pp",
+                                "--dp", "2", "--no-quirks",
+                                "--checkpoint-dir",
+                                os.path.join(tmp, "ck2"),
+                                "--metrics-csv", csv2])
+        finally:
+            common.teardown_parallel()
+        lines2 = open(csv2).read().splitlines()
+        assert len(lines2) >= 2, lines2
+        row2 = dict(zip(lines2[0].split(","), lines2[1].split(",")))
+        assert np.isfinite(float(row2["train_loss"]))
+        assert np.isfinite(float(row2["eval_loss"]))
         print("ema-pp-cli-ok")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -43,6 +43,7 @@ def main() -> None:
     t.check_matches_fused_step(1)
     t.check_matches_fused_step(2)
     t.check_trains_and_places_memory()
+    t.check_dp_matches_fused_step()
     print("pipeline-ema-ok")
 
 

@@ -19,6 +19,7 @@ from semisupervisedobjectdetection_tpu.core.config import (
 from semisupervisedobjectdetection_tpu.models.segformer import SegFormer
 from semisupervisedobjectdetection_tpu import losses
 from semisupervisedobjectdetection_tpu.parallel.pipeline_ema import (
+    DataParallelEmaPipelinedTrainer,
     EmaPipelinedTrainer,
 )
 from semisupervisedobjectdetection_tpu.train import ema as ema_mod
@@ -171,6 +172,53 @@ def check_trains_and_places_memory():
     pt.scheduler_step()
     with pytest.raises(ValueError, match="divisible"):
         pt.step(u[:3], imgs, masks, SUP_W, DECAY, micro=2)
+
+
+def check_dp_matches_fused_step():
+    """dp x pp (2 replicas x 4 stages on 8 devices) must equal
+    ema_semi_step(accum=dp*micro) — same contract as the supervised
+    DataParallelPipelinedTrainer, scaled to the flagship workload."""
+    u, imgs, masks, variables = _setup()
+    oracle = _oracle(variables, u, imgs, masks, accum=2)
+
+    dpt = DataParallelEmaPipelinedTrainer(
+        TINY, variables, variables, TrainConfig(reference_quirks=False),
+        dp=2, confident_threshold=0.0)
+    out = dpt.step(u, imgs, masks, SUP_W, DECAY, micro=1)
+
+    np.testing.assert_allclose(out.student_loss_total,
+                               float(oracle.student_loss_total),
+                               rtol=1e-5, atol=1e-6)
+    assert int(out.n_kept) == int(oracle.n_kept) == u.shape[0]
+    np.testing.assert_allclose(out.pseudo_loss, float(oracle.pseudo_loss),
+                               rtol=1e-5, atol=1e-6)
+
+    # replica groups are disjoint; mirrors of BOTH models live off-group-0
+    g0, g1 = set(dpt.rep_stage_devices[0]), set(dpt.rep_stage_devices[1])
+    assert not (g0 & g1)
+    for key in ("t_stage", "s_stage"):
+        for i, ptree in enumerate(dpt._rep[0][key]):
+            devs = {d for leaf in jax.tree.leaves(ptree)
+                    for d in leaf.devices()}
+            assert devs == {dpt.rep_stage_devices[1][i]}, key
+
+    # student params match the fused update above the noise floor
+    want_g = _grad_mask(variables, u, imgs, masks)
+    merged = dpt.merged_student_params()
+    checked = 0
+    for (kp, a), b, g in zip(
+            jax.tree_util.tree_flatten_with_path(
+                oracle.student_state.params)[0],
+            jax.tree.leaves(merged), jax.tree.leaves(want_g)):
+        sel = np.abs(np.asarray(g)) > 1e-6
+        checked += int(sel.sum())
+        np.testing.assert_allclose(
+            np.asarray(a)[sel], np.asarray(b)[sel], rtol=2e-5, atol=2e-6,
+            err_msg=f"student param mismatch at {jax.tree_util.keystr(kp)}")
+    assert checked > 1000
+
+    with pytest.raises(ValueError, match="divisible"):
+        dpt.step(u[:3], imgs, masks, SUP_W, DECAY, micro=1)
 
 
 def test_ema_pipeline_subprocess():
