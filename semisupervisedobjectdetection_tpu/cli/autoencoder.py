@@ -23,6 +23,7 @@ from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
 )
 from semisupervisedobjectdetection_tpu.cli import common
 from semisupervisedobjectdetection_tpu.core.config import MIT_VARIANTS
+from semisupervisedobjectdetection_tpu.utils import preemption
 from semisupervisedobjectdetection_tpu.utils.logging import MetricLogger
 
 
@@ -79,6 +80,14 @@ def main(argv=None):
                 loss, _ = model.train_one_epoch_without_mask(imgs,
                                                              lazy=True)
                 train_losses.append(loss)
+                if preemption.stop_requested():
+                    break
+            if preemption.stop_requested():
+                break
+        if preemption.stop_requested():
+            common.preempt_exit(
+                args, [("segformer_autoencoder", model.state, best)],
+                epoch)
         model.scheduler_step()
         train_losses = common.host_floats(train_losses)
 
@@ -111,4 +120,5 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
+    preemption.install()
     main()

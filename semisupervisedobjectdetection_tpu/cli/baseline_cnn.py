@@ -25,6 +25,7 @@ from semisupervisedobjectdetection_tpu.train.baseline_cnn import (
     cnn_train_step,
     create_cnn_state,
 )
+from semisupervisedobjectdetection_tpu.utils import preemption
 from semisupervisedobjectdetection_tpu.utils.logging import MetricLogger
 
 
@@ -114,6 +115,12 @@ def main(argv=None):
                     state, imgs, masks, d_rng, arch, dtype=args.dtype,
                     **enc_kw)
                 tl.append(loss)
+                if preemption.stop_requested():
+                    break
+            if preemption.stop_requested():
+                # completed archs already wrote their own _last (resume
+                # mode) or best checkpoints; save only the interrupted one
+                common.preempt_exit(args, [(arch, state, best)], epoch)
             state = state.scheduler_step()
             tl = common.host_floats(tl)
             t0 = time.time()
@@ -142,4 +149,5 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
+    preemption.install()
     main()

@@ -346,6 +346,41 @@ def check_grad_accum(args, train_loader, dp_pp_capable: bool = False
             f"{len(train_loader.dataset) % bs}; enable drop_last")
 
 
+def preempt_exit(args, saves, epoch: int):
+    """Checkpoint-and-exit after a preemption signal stopped a training
+    loop mid-epoch (utils/preemption.py — the loops poll
+    `preemption.stop_requested()` at batch boundaries and call this).
+
+    `saves` is [(prefix, state, best_loss), ...] and `epoch` the
+    INTERRUPTED epoch: the `*_last` checkpoint meta records epoch-1, so a
+    `--resume` restart redoes the partial epoch from its start
+    (at-least-once semantics; the redo is deterministic because every loop
+    re-derives its augment stream by folding the restart epoch into the
+    seed). Saved even when --resume was not passed — preemption is exactly
+    when state must survive — and exits 0 so a supervisor treats the run
+    as cleanly descheduled, not crashed. The reference loses everything
+    but the last best-eval params on any kill (SURVEY.md §5 checkpoint
+    row)."""
+    from semisupervisedobjectdetection_tpu.utils import preemption
+
+    wrote = []
+    if args.checkpoint_dir:
+        from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
+            save_last,
+        )
+        for prefix, state, best in saves:
+            save_last(args.checkpoint_dir, prefix, state, epoch - 1, best)
+            wrote.append(f"{prefix}_last")
+    msg = f"preempted ({preemption.signal_name()}) during epoch {epoch}: "
+    if wrote:
+        msg += (f"wrote {', '.join(wrote)} to {args.checkpoint_dir} — "
+                f"restart with --resume to continue from epoch {epoch}")
+    else:
+        msg += "no --checkpoint-dir set, training state NOT saved"
+    print(msg, flush=True)
+    raise SystemExit(0)
+
+
 def warn_grad_accum_ignored(args, loop_name: str) -> None:
     """--grad-accum is in the shared parser but only the single-gradient-
     model steps implement it; say so loudly instead of silently training

@@ -35,6 +35,7 @@ from semisupervisedobjectdetection_tpu.models.segformer import SegFormer
 from semisupervisedobjectdetection_tpu.train.state import TrainState
 from semisupervisedobjectdetection_tpu.train import fewshot as fw
 from semisupervisedobjectdetection_tpu.train.supervised import eval_step
+from semisupervisedobjectdetection_tpu.utils import preemption
 from semisupervisedobjectdetection_tpu.utils.logging import MetricLogger
 
 
@@ -215,6 +216,11 @@ def main(argv=None):
                                           args.cls_loss_weight)
                 state = out.state
                 ep_losses.append(out.loss)
+            if preemption.stop_requested():
+                break
+        if preemption.stop_requested():
+            common.preempt_exit(
+                args, [(f"fewshot_{args.mode}", state, best)], epoch)
         state = state.scheduler_step()
         # one device->host sync per epoch (tunnel round trips are ~32ms)
         ep_losses = common.host_floats(ep_losses)
@@ -251,4 +257,5 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
+    preemption.install()
     main()

@@ -26,6 +26,7 @@ from semisupervisedobjectdetection_tpu.eval.metrics import (
     binary_miou,
     dice_score,
 )
+from semisupervisedobjectdetection_tpu.utils import preemption
 from semisupervisedobjectdetection_tpu.utils.logging import (
     MetricLogger,
     profile_trace,
@@ -125,6 +126,17 @@ def train_loop(model: SegFormerModel, loaders, dcfg, tc, args,
                                                 use_loss=loss_type,
                                                 lazy=True)
             train_losses.append(loss)
+            if preemption.stop_requested():
+                break
+        if preemption.stop_requested():
+            # mid-epoch preemption: pull pp stage params back first so the
+            # checkpoint carries the trained weights, then save-and-exit 0
+            if trainer is not None:
+                model.state = model.state.replace(
+                    params=jax.device_put(trainer.merged_params(),
+                                          jax.devices()[0]))
+            common.preempt_exit(args, [("segformer", model.state, best)],
+                                epoch)
         if trainer is not None:
             trainer.scheduler_step()
             # merged_params() is a host tree: commit it to one device NOW
@@ -184,9 +196,14 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="with --predict: serve through the int8 snapshot "
                    "(SegFormerModel.quantize — ~2x MXU rate on v5e)")
+    p.add_argument("--fp8", action="store_true",
+                   help="with --predict: serve through an fp8 (e4m3) "
+                   "snapshot — native-rate on fp8-MXU TPUs (v6e+), "
+                   "upcast-executed elsewhere")
     p.add_argument("--int8-snapshot",
-                   help="with --int8: persisted snapshot dir — loaded if "
-                   "it exists, else written after quantize() "
+                   help="with --int8/--fp8: persisted snapshot dir — "
+                   "loaded if it exists (width auto-detected), else "
+                   "written after quantize() "
                    "(SegFormerModel.save_quantized/load_quantized)")
     p.add_argument("--sliding-raster",
                    help="with --predict: path to one large RGB raster; "
@@ -254,17 +271,21 @@ def main(argv=None):
                            hf_weights=args.hf_weights,
                            grad_accum=args.grad_accum)
     if args.predict:
-        if args.int8:
+        if args.int8 and args.fp8:
+            raise SystemExit("--int8 and --fp8 are mutually exclusive")
+        if args.int8 or args.fp8:
             import os as _os
 
+            kind = "fp8" if args.fp8 else "int8"
             if args.int8_snapshot and _os.path.exists(args.int8_snapshot):
                 model.load_quantized(args.int8_snapshot)
-                print(f"int8 snapshot loaded: {args.int8_snapshot}")
+                print(f"quantized snapshot loaded: {args.int8_snapshot}")
             else:
-                model.quantize()
+                model.quantize(kind=kind)
                 if args.int8_snapshot:
                     model.save_quantized(args.int8_snapshot)
-                    print(f"int8 snapshot written: {args.int8_snapshot}")
+                    print(f"{kind} snapshot written: "
+                          f"{args.int8_snapshot}")
         if args.sliding_raster:
             import os
 
@@ -285,14 +306,15 @@ def main(argv=None):
             print(f"raster mask written: {path} "
                   f"({img.shape[0]}x{img.shape[1]}, window {args.window}, "
                   f"overlap {args.overlap}"
-                  + (", int8" if args.int8 else "") + ")")
+                  + (", int8" if args.int8 else "")
+                  + (", fp8" if args.fp8 else "") + ")")
             return
         losses = []
         dumped = 0
         for bi, (images_u8, masks_u8) in enumerate(loaders["eval"]):
             imgs, masks = common.device_eval_batch(images_u8, masks_u8,
                                                    dcfg)
-            if args.int8:
+            if args.int8 or args.fp8:
                 from semisupervisedobjectdetection_tpu import losses as L
 
                 pred = model.predict(np.asarray(imgs))
@@ -323,4 +345,5 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
+    preemption.install()
     main()

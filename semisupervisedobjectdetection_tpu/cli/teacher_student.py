@@ -30,7 +30,15 @@ from semisupervisedobjectdetection_tpu.models.segformer import SegFormer
 from semisupervisedobjectdetection_tpu.train.state import TrainState
 from semisupervisedobjectdetection_tpu.train.supervised import eval_step
 from semisupervisedobjectdetection_tpu.train import teacher_student as ts
+from semisupervisedobjectdetection_tpu.utils import preemption
 from semisupervisedobjectdetection_tpu.utils.logging import MetricLogger
+
+
+def _preempt_exit(args, teacher, student, epoch, best_s, best_t):
+    """Mid-epoch preemption: save BOTH `_last` checkpoints and exit 0
+    (cli/common.preempt_exit semantics — `--resume` redoes the epoch)."""
+    common.preempt_exit(args, [("ts_teacher", teacher, best_t),
+                               ("ts_student", student, best_s)], epoch)
 
 
 def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
@@ -109,6 +117,10 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
             teacher = out.teacher_state
             kept.append(out.n_kept)
             pseudo_losses.append(out.loss)
+            if preemption.stop_requested():
+                break
+        if preemption.stop_requested():
+            _preempt_exit(args, teacher, student, epoch, best_s, best_t)
         images_used = int(sum(common.host_floats(kept)))
         pseudo_losses = [x for x in common.host_floats(pseudo_losses)
                          if np.isfinite(x)]
@@ -127,6 +139,10 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
             teacher, student = lout.teacher_state, lout.student_state
             s_losses.append(lout.student_loss_total)
             t_losses.append(lout.teacher_loss)
+            if preemption.stop_requested():
+                break
+        if preemption.stop_requested():
+            _preempt_exit(args, teacher, student, epoch, best_s, best_t)
         teacher = teacher.scheduler_step()
         student = student.scheduler_step()
         if args.ema > 0:
@@ -278,21 +294,16 @@ def _ema_train_loop(args, dcfg, tc, loaders, cfg, logger, *, teacher,
             s_losses.append(out.student_loss_total)
             kept.append(out.n_kept)
             p_losses.append(out.pseudo_loss)
+            if preemption.stop_requested():
+                break
+        if preemption.stop_requested():
+            if trainer is not None:
+                teacher, student = _merge_ema_pp(trainer, teacher, student)
+            _preempt_exit(args, teacher, student, epoch, best_s, best_t)
         if trainer is not None:
-            # merge the per-stage params back for eval + checkpointing;
-            # committed to one device so the jitted eval below ships each
-            # model's params host->device ONCE per epoch, not per batch
+            # merge the per-stage params back for eval + checkpointing
             trainer.scheduler_step()
-            dev0 = jax.devices()[0]
-            student = student.replace(
-                params=jax.device_put(trainer.merged_student_params(),
-                                      dev0))
-            tvars = jax.device_put(trainer.merged_teacher_variables(),
-                                   dev0)
-            teacher = teacher.replace(
-                params=tvars["params"],
-                batch_stats=tvars.get("batch_stats",
-                                      teacher.batch_stats))
+            teacher, student = _merge_ema_pp(trainer, teacher, student)
         teacher = teacher.scheduler_step()
         student = student.scheduler_step()
         s_losses = common.host_floats(s_losses)
@@ -334,6 +345,20 @@ def _ema_train_loop(args, dcfg, tc, loaders, cfg, logger, *, teacher,
                 ckpt_t.maybe_save(teacher, epoch, train_loss, eval_t, fps)
         _save_lasts(args, teacher, student, epoch, best_s, best_t)
     return min(best_s, best_t)
+
+
+def _merge_ema_pp(trainer, teacher, student):
+    """Pull the pipeline trainer's per-stage params back into the two
+    TrainStates, committed to one device so the jitted eval/checkpoint
+    path ships each model's params host->device ONCE, not per batch."""
+    dev0 = jax.devices()[0]
+    student = student.replace(
+        params=jax.device_put(trainer.merged_student_params(), dev0))
+    tvars = jax.device_put(trainer.merged_teacher_variables(), dev0)
+    teacher = teacher.replace(
+        params=tvars["params"],
+        batch_stats=tvars.get("batch_stats", teacher.batch_stats))
+    return teacher, student
 
 
 def _try_resume(args, teacher, student, ckpt_s, ckpt_t, rng):
@@ -450,4 +475,5 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
+    preemption.install()
     main()

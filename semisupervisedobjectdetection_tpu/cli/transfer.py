@@ -20,6 +20,7 @@ from semisupervisedobjectdetection_tpu.core.config import (
     MIT_VARIANTS,
     product_grid,
 )
+from semisupervisedobjectdetection_tpu.utils import preemption
 from semisupervisedobjectdetection_tpu.utils.logging import MetricLogger
 
 
@@ -96,4 +97,5 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
+    preemption.install()
     main()

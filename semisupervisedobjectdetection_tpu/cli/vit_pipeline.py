@@ -24,6 +24,7 @@ from semisupervisedobjectdetection_tpu.train.vit_seg import (
     create_vit_state,
     make_vit_steps,
 )
+from semisupervisedobjectdetection_tpu.utils import preemption
 from semisupervisedobjectdetection_tpu.utils.logging import MetricLogger
 
 
@@ -131,6 +132,8 @@ def main(argv=None):
                     loaders["unlabeled"], epoch_rng, dcfg, depth=depth):
                 state, loss, _ = pseudo_step(state, imgs,
                                              jnp.asarray(True))
+                if preemption.stop_requested():
+                    break
         rng, epoch_rng = jax.random.split(rng)
         train_src = (((im, None) for im, _ in loaders["train"])
                      if args.mode == "ae" else loaders["train"])
@@ -144,6 +147,13 @@ def main(argv=None):
             else:
                 state, loss, _ = seg_train(state, imgs, masks)
             tl.append(loss)
+            if preemption.stop_requested():
+                break
+        if preemption.stop_requested():
+            saves = [(f"vit_{args.mode}", state, best)]
+            if student is not None:
+                saves.append(("vit_semi_student", student, best))
+            common.preempt_exit(args, saves, epoch)
         state = state.scheduler_step()
         if student is not None:
             student = student.scheduler_step()
@@ -191,4 +201,5 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
+    preemption.install()
     main()
