@@ -180,28 +180,30 @@ class SegFormerModel:
         self._init_state(keep_params=self.state.params,
                          keep_stats=self.state.batch_stats)
 
-    def quantize(self) -> None:
-        """Snapshot the current weights into the int8 serving path
-        (`ops/quant.py`): dense kernels become int8 with per-channel
-        scales, activations quantize dynamically at run time — ~2x MXU
-        rate on TPU v5e. `predict` then runs int8; training methods keep
+    def quantize(self, kind: str = "int8") -> None:
+        """Snapshot the current weights into a low-precision serving path
+        (`ops/quant.py`): dense kernels become `kind` ('int8' — ~2x MXU
+        rate on TPU v5e — or 'fp8' e4m3, native-rate on fp8-MXU TPUs,
+        v6e+) with per-channel scales, activations quantize dynamically
+        at run time. `predict` then runs quantized; training methods keep
         the f32 state (call `quantize()` again to refresh the snapshot,
         `dequantize()` to serve f32 again). TPU-serving addition; no
         reference analogue."""
         from semisupervisedobjectdetection_tpu.ops.quant import (
             quantize_dense_params,
         )
-        self._qvars = {"params": quantize_dense_params(self.state.params)}
+        self._qvars = {"params": quantize_dense_params(self.state.params,
+                                                       kind=kind)}
         if self.state.batch_stats:
             self._qvars["batch_stats"] = self.state.batch_stats
-        self._qcfg = self.cfg.replace(quant="int8")
+        self._qcfg = self.cfg.replace(quant=kind)
 
     def dequantize(self) -> None:
         self._qvars = None
         self._qcfg = None
 
     def save_quantized(self, path: str) -> None:
-        """Persist the int8 serving snapshot (quantize() first) so a
+        """Persist the quantized serving snapshot (quantize() first) so a
         serving process can load weights without the f32 checkpoint —
         the on-disk artifact is ~4x smaller for the dense kernels.
         TPU-serving addition; no reference analogue."""
@@ -210,13 +212,15 @@ class SegFormerModel:
         import orbax.checkpoint as ocp
 
         if self._qvars is None:
-            raise ValueError("no int8 snapshot — call quantize() first")
+            raise ValueError("no quantized snapshot — call quantize() "
+                             "first")
         ocp.PyTreeCheckpointer().save(os.path.abspath(path), self._qvars,
                                       force=True)
 
     def load_quantized(self, path: str) -> None:
-        """Load an int8 snapshot written by `save_quantized`; `predict`
-        serves it until `dequantize()`. The model config must match the
+        """Load a snapshot written by `save_quantized`; `predict` serves
+        it until `dequantize()`. The width (int8 vs fp8) is recovered
+        from the stored kernel dtypes; the model config must match the
         one the snapshot was quantized from."""
         import os
 
@@ -224,7 +228,14 @@ class SegFormerModel:
 
         restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
         self._qvars = jax.tree.map(jnp.asarray, restored)
-        self._qcfg = self.cfg.replace(quant="int8")
+        kinds = {("fp8" if l.dtype == jnp.float8_e4m3fn else "int8")
+                 for l in jax.tree.leaves(self._qvars["params"])
+                 if l.dtype in (jnp.int8, jnp.float8_e4m3fn)}
+        if len(kinds) != 1:
+            raise ValueError(
+                f"cannot infer snapshot width from {path}: found "
+                f"quantized kernel dtypes {sorted(kinds) or 'none'}")
+        self._qcfg = self.cfg.replace(quant=kinds.pop())
 
     def _serving(self):
         """(cfg, variables) used by predict: the int8 snapshot when

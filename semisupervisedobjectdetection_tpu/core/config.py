@@ -89,10 +89,12 @@ class MiTConfig:
     # consecutive layers at the cost of compile time / code size).
     scan_unroll: int = 1
 
-    # Serving quantization: "none" (train/predict in cfg.dtype) or "int8"
+    # Serving quantization: "none" (train/predict in cfg.dtype), "int8"
     # (dense kernels as int8 with per-channel scales + dynamic activation
-    # quantization — inference only; convert a trained checkpoint with
-    # `ops.quant.quantize_dense_params`).
+    # quantization — ~2x MXU rate on v5e), or "fp8" (e4m3 kernels +
+    # activations — native-rate on fp8-MXU TPUs, v6e+; upcast elsewhere).
+    # Inference only; convert a trained checkpoint with
+    # `ops.quant.quantize_dense_params(params, kind=...)`.
     quant: str = "none"
 
     @property

@@ -58,11 +58,15 @@ def _dtype_of(cfg: MiTConfig):
 
 
 def _dense_cls(quant: str):
-    """nn.Dense for training; QDense (int8 weights, dynamic activation
-    quantization — ops/quant.py) for the serving path."""
+    """nn.Dense for training; QDense (int8) or F8Dense (fp8 e4m3, for
+    fp8-MXU TPUs, v6e+) with dynamic activation quantization —
+    ops/quant.py — for the serving paths."""
     if quant == "int8":
         from semisupervisedobjectdetection_tpu.ops.quant import QDense
         return QDense
+    if quant == "fp8":
+        from semisupervisedobjectdetection_tpu.ops.quant import F8Dense
+        return F8Dense
     return nn.Dense
 
 

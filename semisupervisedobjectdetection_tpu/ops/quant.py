@@ -1,5 +1,5 @@
-"""Int8 inference path: weight quantization + dynamic-activation int8
-matmul for the SegFormer dense layers.
+"""Low-precision inference paths: int8 and fp8 weight quantization +
+dynamic-activation low-precision matmul for the SegFormer dense layers.
 
 TPU v5e executes int8 x int8 -> int32 on the MXU at ~2x the bf16 rate
 (394 vs 197 TOPS), so for serving we quantize the dense kernels (q/k/v/
@@ -8,9 +8,18 @@ channel to int8 and quantize activations dynamically per-tensor at run
 time. Convs (patch embeds, SR reduction, dwconv, classifier) stay in
 bf16 — they are a small FLOP share and more accuracy-sensitive.
 
+The fp8 variant (float8_e4m3fn kernels + activations, same per-channel /
+per-token scaling) targets TPU generations with a native fp8 MXU (v6e+:
+fp8 runs at the int8 rate there); on v5e and CPU, XLA upcasts fp8 inputs,
+so the path is numerically exercised everywhere but only pays off on fp8
+hardware. e4m3's ~2-bit mantissa keeps relative error near int8's while
+the wide exponent removes the clip risk of symmetric int8 on
+heavy-tailed activations.
+
 No reference analogue (the reference serves f32 torch); this is a
 TPU-serving addition. Accuracy is guarded by tests/test_quant.py
-(kernel-level relative error and model-level mask agreement).
+(kernel-level relative error and model-level mask agreement for both
+widths).
 """
 
 from __future__ import annotations
@@ -49,6 +58,39 @@ def int8_matmul(x: Array, wq: Array, wscale: Array) -> Array:
     return acc.astype(jnp.float32) * xscale * wscale
 
 
+# float8_e4m3fn finite max (jnp.finfo(float8_e4m3fn).max); the scale maps
+# each channel's/token's abs-max onto it, mirroring int8's /127 mapping.
+FP8_MAX = 448.0
+
+
+def quantize_weight_fp8(w: Array) -> tuple[Array, Array]:
+    """Per-output-channel symmetric fp8 (e4m3) quantization of an
+    (in, out) kernel. Returns (fp8 kernel, f32 per-out-channel scale).
+    The cast itself performs round-to-nearest-even; only the clip to the
+    finite range is explicit."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+    scale = jnp.maximum(amax, 1e-8) / FP8_MAX
+    q = jnp.clip(w.astype(jnp.float32) / scale, -FP8_MAX, FP8_MAX)
+    return q.astype(jnp.float8_e4m3fn), scale.astype(jnp.float32)
+
+
+def fp8_matmul(x: Array, wq: Array, wscale: Array) -> Array:
+    """Dynamic-activation fp8 matmul: x (..., in) f32/bf16 against an fp8
+    kernel (in, out) with per-out-channel scales. Activations scale
+    per-token (abs-max per row) exactly like `int8_matmul`; accumulation
+    is f32 (`preferred_element_type`), native-rate on fp8-MXU TPUs
+    (v6e+), upcast-executed elsewhere."""
+    x32 = x.astype(jnp.float32)
+    xmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    xscale = jnp.maximum(xmax, 1e-8) / FP8_MAX
+    xq = jnp.clip(x32 / xscale, -FP8_MAX, FP8_MAX).astype(
+        jnp.float8_e4m3fn)
+    acc = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return acc * xscale * wscale
+
+
 class QDense(nn.Module):
     """Drop-in for `nn.Dense` serving int8 weights.
 
@@ -78,12 +120,47 @@ class QDense(nn.Module):
         return y.astype(self.dtype)
 
 
-def quantize_dense_params(params: dict) -> dict:
-    """Convert a trained f32 SegFormer param tree into the int8-serving
-    tree: every 2-D `kernel` leaf (a Dense) becomes {kernel: int8,
-    kernel_scale}; conv kernels (ndim != 2) and all other leaves pass
-    through unchanged. Stacked scan params (leading layer axes with a
-    trailing (in, out)) are quantized per layer via vmap."""
+class F8Dense(nn.Module):
+    """Drop-in for `nn.Dense` serving fp8 (e4m3) weights.
+
+    Param pytree: {kernel: fp8 (in, out), kernel_scale: f32 (out,),
+    bias: f32 (out,)} — produced from a trained f32 checkpoint by
+    `quantize_dense_params(params, kind='fp8')`. Inference-only, like
+    QDense."""
+
+    features: int
+    dtype: Any = jnp.float32
+    kernel_init: Any = None    # signature parity with nn.Dense; unused
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            lambda key, shape: jnp.zeros(shape, jnp.float8_e4m3fn),
+            (in_features, self.features))
+        scale = self.param("kernel_scale", nn.initializers.ones,
+                           (self.features,))
+        y = fp8_matmul(x, kernel, scale)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            y = y + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+def quantize_dense_params(params: dict, kind: str = "int8") -> dict:
+    """Convert a trained f32 SegFormer param tree into the low-precision
+    serving tree: every 2-D `kernel` leaf (a Dense) becomes
+    {kernel: int8|fp8, kernel_scale}; conv kernels (ndim != 2) and all
+    other leaves pass through unchanged. Stacked scan params (leading
+    layer axes with a trailing (in, out)) are quantized per layer via
+    vmap. `kind` selects the width: 'int8' (QDense) or 'fp8'
+    (F8Dense, e4m3)."""
+    if kind not in ("int8", "fp8"):
+        raise ValueError(f"kind must be 'int8' or 'fp8', got {kind!r}")
+    quantizer = quantize_weight if kind == "int8" else quantize_weight_fp8
 
     def convert(tree):
         if not isinstance(tree, dict):
@@ -95,7 +172,7 @@ def quantize_dense_params(params: dict) -> dict:
                 continue
             if name == "kernel" and leaf.ndim >= 2 and _is_dense_kernel(
                     tree):
-                q = quantize_weight
+                q = quantizer
                 for _ in range(leaf.ndim - 2):
                     q = jax.vmap(q)
                 wq, scale = q(leaf)

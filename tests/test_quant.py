@@ -152,3 +152,91 @@ def test_save_quantized_requires_snapshot(tmp_path):
     m = SegFormerModel(config=CFG)
     with pytest.raises(ValueError, match="quantize"):
         m.save_quantized(str(tmp_path / "x"))
+
+
+# ---------------------------------------------------------------- fp8 ----
+
+def test_fp8_matmul_relative_error():
+    """fp8 e4m3 (ops/quant.py::fp8_matmul): per-token activation + per-
+    channel weight scaling keeps RMS error in the int8 ballpark (e4m3 has
+    a 3-bit mantissa, so the bound is looser than int8's 127-level
+    grid)."""
+    from semisupervisedobjectdetection_tpu.ops.quant import (
+        fp8_matmul,
+        quantize_weight_fp8,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(64, 96)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(96, 128)), jnp.float32)
+    wq, ws = quantize_weight_fp8(w)
+    assert wq.dtype == jnp.float8_e4m3fn
+    y = fp8_matmul(x, wq, ws)
+    ref = x @ w
+    rel = float(jnp.linalg.norm(y - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.05, rel
+
+
+def test_fp8_quantize_dense_params_structure():
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = jax.jit(SegFormer(CFG).init)(jax.random.PRNGKey(0), x)
+    qparams = quantize_dense_params(variables["params"], kind="fp8")
+
+    blk = qparams["encoder"]["block_2"]["attention"]["query"]
+    assert blk["kernel"].dtype == jnp.float8_e4m3fn
+    assert blk["kernel_scale"].shape == (2, 64)
+    # convs untouched, same rule as int8
+    assert qparams["encoder"]["patch_embed_0"]["proj"]["kernel"].dtype \
+        == jnp.float32
+
+    with pytest.raises(ValueError):
+        quantize_dense_params(variables["params"], kind="int4")
+
+
+def test_fp8_model_masks_agree():
+    """Binarized masks from the fp8 model agree with f32 (quant='fp8'
+    routes every Dense through F8Dense — models/segformer.py::_dense_cls)."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(size=(2, 64, 64, 3)), jnp.float32)
+    variables = jax.jit(SegFormer(CFG).init)(jax.random.PRNGKey(2), x)
+
+    logits_f32, _ = jax.jit(SegFormer(CFG).apply)(variables, x)
+
+    qvars = {"params": quantize_dense_params(variables["params"],
+                                             kind="fp8"),
+             "batch_stats": variables["batch_stats"]}
+    qcfg = CFG.replace(quant="fp8")
+    logits_q, _ = jax.jit(SegFormer(qcfg).apply)(qvars, x)
+
+    rms = float(jnp.sqrt(jnp.mean((logits_q - logits_f32) ** 2)))
+    scale = float(jnp.sqrt(jnp.mean(logits_f32 ** 2)))
+    assert rms < 0.15 * scale + 1e-3, (rms, scale)
+
+    m_f = np.asarray(predict_masks(logits_f32, (64, 64))) > 0.5
+    m_q = np.asarray(predict_masks(logits_q, (64, 64))) > 0.5
+    agree = (m_f == m_q).mean()
+    assert agree > 0.97, agree
+
+
+def test_api_fp8_quantize_and_snapshot_roundtrip(tmp_path):
+    """api.quantize(kind='fp8') serves through predict; save_quantized /
+    load_quantized round-trips the snapshot and re-detects the fp8 width
+    from the stored kernel dtypes."""
+    from semisupervisedobjectdetection_tpu.api import SegFormerModel
+
+    m = SegFormerModel(config=CFG)
+    img = (np.random.default_rng(0).uniform(
+        size=(2, 3, 64, 64)) * 255).astype(np.uint8)
+    f32_masks = m.predict(img)
+    m.quantize(kind="fp8")
+    assert m._qcfg.quant == "fp8"
+    q_masks = m.predict(img)
+    agree = ((q_masks > 0.5) == (f32_masks > 0.5)).mean()
+    assert agree > 0.97, agree
+
+    path = str(tmp_path / "fp8_snap")
+    m.save_quantized(path)
+    m2 = SegFormerModel(config=CFG)
+    m2.load_quantized(path)
+    assert m2._qcfg.quant == "fp8"
+    np.testing.assert_array_equal(m2.predict(img), q_masks)
