@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="quantize to the int8 serving path first (~4x "
                         "smaller artifact, ~2x MXU rate on v5e)")
+    p.add_argument("--fp8", action="store_true",
+                   help="quantize to the fp8 (e4m3) serving path first "
+                        "— native-rate on fp8-MXU TPUs (v6e+)")
     p.add_argument("--batch", type=int, default=8,
                    help="compiled batch size (smaller requests are padded "
                         "at serving time; larger ones rejected)")
@@ -52,8 +55,10 @@ def main(argv=None):
     if not (args.pretrain_weight or args.hf_weights):
         print("WARNING: exporting randomly initialized weights "
               "(no --pretrain-weight / --hf-weights)")
-    if args.int8:
-        model.quantize()
+    if args.int8 and args.fp8:
+        raise SystemExit("--int8 and --fp8 are mutually exclusive")
+    if args.int8 or args.fp8:
+        model.quantize(kind="fp8" if args.fp8 else "int8")
     header = model.export_serving(
         args.out, batch_size=args.batch, img_size=args.img_size,
         platforms=tuple(s for s in args.platforms.split(",") if s))

@@ -69,13 +69,13 @@ class InferenceServer:
     """
 
     def __init__(self, model, img_size: int, max_batch: int = 8,
-                 batch_window_ms: float = 5.0, int8: bool = False,
+                 batch_window_ms: float = 5.0, quant: str = "none",
                  variant: str = "?"):
         self.model = model
         self.img_size = int(img_size)
         self.max_batch = max(int(max_batch), 1)
         self.batch_window_s = batch_window_ms / 1e3
-        self.int8 = int8
+        self.quant = quant or "none"
         self.variant = variant
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
@@ -169,7 +169,8 @@ class InferenceServer:
                         "variant": server.variant,
                         "img_size": server.img_size,
                         "max_batch": server.max_batch,
-                        "int8": server.int8,
+                        "quant": server.quant,
+                        "int8": server.quant == "int8",
                     })
                 elif path == "/stats":
                     with server._stats_lock:
@@ -276,9 +277,13 @@ def main(argv=None):
                         "baked-in weights; no checkpoint or model build")
     p.add_argument("--int8", action="store_true",
                    help="serve through the int8 snapshot (~2x MXU rate)")
+    p.add_argument("--fp8", action="store_true",
+                   help="serve through an fp8 (e4m3) snapshot — native-"
+                        "rate on fp8-MXU TPUs (v6e+), upcast elsewhere")
     p.add_argument("--int8-snapshot",
-                   help="with --int8: snapshot dir — loaded if present, "
-                        "else written after quantize()")
+                   help="with --int8/--fp8: snapshot dir — loaded if "
+                        "present (width auto-detected), else written "
+                        "after quantize()")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--max-batch", type=int, default=8)
@@ -299,7 +304,7 @@ def main(argv=None):
             predictor, img_size=hdr["img_size"],
             max_batch=hdr["batch"],
             batch_window_ms=args.batch_window_ms,
-            int8=hdr.get("quant") == "int8",
+            quant=hdr.get("quant") or "none",
             variant=f"artifact:{os.path.basename(args.artifact)}")
         port = srv.start(args.host, args.port)
         print(f"serving artifact {args.artifact} on "
@@ -323,24 +328,27 @@ def main(argv=None):
     if not (args.pretrain_weight or args.hf_weights):
         print("WARNING: serving randomly initialized weights "
               "(no --pretrain-weight / --hf-weights)")
-    if args.int8:
+    if args.int8 and args.fp8:
+        raise SystemExit("--int8 and --fp8 are mutually exclusive")
+    quant = "fp8" if args.fp8 else ("int8" if args.int8 else "none")
+    if quant != "none":
         if args.int8_snapshot and os.path.exists(args.int8_snapshot):
             model.load_quantized(args.int8_snapshot)
-            print(f"int8 snapshot loaded: {args.int8_snapshot}")
+            print(f"quantized snapshot loaded: {args.int8_snapshot}")
         else:
-            model.quantize()
+            model.quantize(kind=quant)
             if args.int8_snapshot:
                 model.save_quantized(args.int8_snapshot)
-                print(f"int8 snapshot written: {args.int8_snapshot}")
+                print(f"{quant} snapshot written: {args.int8_snapshot}")
 
     srv = InferenceServer(model, img_size=args.img_size,
                           max_batch=args.max_batch,
                           batch_window_ms=args.batch_window_ms,
-                          int8=args.int8, variant=args.variant)
+                          quant=quant, variant=args.variant)
     port = srv.start(args.host, args.port)
     print(f"serving on http://{args.host}:{port}  "
           f"(batch {args.max_batch}, window {args.batch_window_ms}ms"
-          + (", int8" if args.int8 else "") + ")")
+          + (f", {quant}" if quant != "none" else "") + ")")
     try:
         while True:
             time.sleep(3600)

@@ -67,6 +67,11 @@ def _dense_cls(quant: str):
     if quant == "fp8":
         from semisupervisedobjectdetection_tpu.ops.quant import F8Dense
         return F8Dense
+    if quant != "none":
+        # fail fast: a typo'd quant would otherwise silently serve f32
+        raise ValueError(
+            f"MiTConfig.quant must be 'none', 'int8' or 'fp8', "
+            f"got {quant!r}")
     return nn.Dense
 
 
