@@ -79,6 +79,7 @@ class InferenceServer:
         self.variant = variant
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
+        self._draining = threading.Event()
         self._httpd = None
         self._threads: list = []
         self.stats = {"requests": 0, "batches": 0, "errors": 0,
@@ -96,6 +97,8 @@ class InferenceServer:
             try:
                 first = self._q.get(timeout=0.1)
             except queue.Empty:
+                if self._draining.is_set():
+                    return   # graceful stop: queue drained, we are done
                 continue
             batch = [first]
             deadline = time.monotonic() + self.batch_window_s
@@ -132,6 +135,8 @@ class InferenceServer:
     def submit(self, arr: np.ndarray, timeout: float = 60.0) -> np.ndarray:
         """Queue one (H,W,3) float image sized to img_size; block for the
         (img_size, img_size) probability mask."""
+        if self._draining.is_set() or self._stop.is_set():
+            raise RuntimeError("server is shutting down")
         p = _Pending(arr)
         self._q.put(p)
         with self._stats_lock:
@@ -251,11 +256,40 @@ class InferenceServer:
         self._threads.append(ht)
         return self._httpd.server_address[1]
 
-    def stop(self) -> None:
-        self._stop.set()
+    def stop(self, drain: bool = True) -> None:
+        """Stop serving. With `drain` (default) the HTTP listener closes
+        FIRST (no new requests land), then the model thread answers
+        everything already queued before exiting — so a SIGTERM'd serving
+        VM (spot preemption / maintenance) finishes its in-flight work
+        instead of timing those requests out. `drain=False` aborts
+        immediately (queued requests hit their submit timeout)."""
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd.server_close()
+        if drain:
+            self._draining.set()
+            for t in self._threads:
+                if t.name == "sso-serve-model":
+                    t.join(timeout=120.0)
+        self._stop.set()
+
+
+def _serve_until_signal(srv: InferenceServer) -> None:
+    """Block until SIGTERM/SIGINT (utils/preemption.py — TPU VM preemption
+    sends SIGTERM with a grace window), then drain-stop: the listener
+    closes, queued predicts finish, exit 0."""
+    from semisupervisedobjectdetection_tpu.utils import preemption
+
+    preemption.install()
+    try:
+        while not preemption.stop_requested():
+            time.sleep(0.2)
+    except KeyboardInterrupt:
+        pass
+    print(f"\nshutting down ({preemption.signal_name()}): draining "
+          "in-flight requests", flush=True)
+    srv.stop(drain=True)
+    print("drained; bye", flush=True)
 
 
 def main(argv=None):
@@ -310,11 +344,7 @@ def main(argv=None):
         print(f"serving artifact {args.artifact} on "
               f"http://{args.host}:{port}  (batch {hdr['batch']}, "
               f"quant {hdr.get('quant')})")
-        try:
-            while True:
-                time.sleep(3600)
-        except KeyboardInterrupt:
-            srv.stop()
+        _serve_until_signal(srv)
         return
 
     from semisupervisedobjectdetection_tpu.api import SegFormerModel
@@ -349,11 +379,7 @@ def main(argv=None):
     print(f"serving on http://{args.host}:{port}  "
           f"(batch {args.max_batch}, window {args.batch_window_ms}ms"
           + (f", {quant}" if quant != "none" else "") + ")")
-    try:
-        while True:
-            time.sleep(3600)
-    except KeyboardInterrupt:
-        srv.stop()
+    _serve_until_signal(srv)
 
 
 if __name__ == "__main__":

@@ -131,3 +131,43 @@ def test_bad_image_400_and_unknown_route_404(server):
     except urllib.error.HTTPError as e:
         raised = e.code
     assert raised == 404
+
+
+def test_stop_drains_queued_requests():
+    """stop(drain=True): the listener closes first, then every queued
+    request is answered before the model thread exits — a SIGTERM'd
+    serving VM (cli/serve._serve_until_signal) must not time out
+    in-flight clients. A fresh server (not the module fixture) because
+    stop() is the behavior under test."""
+    import time
+
+    model = SegFormerModel(config=CFG)
+    srv = InferenceServer(model, img_size=SIZE, max_batch=2,
+                          batch_window_ms=1.0, variant="b0-tiny")
+    srv.start()
+
+    n = 6
+    results, errors = [None] * n, [None] * n
+
+    def client(i):
+        arr = np.random.default_rng(i).uniform(
+            size=(SIZE, SIZE, 3)).astype(np.float32)
+        try:
+            results[i] = srv.submit(arr, timeout=120.0)
+        except BaseException as e:
+            errors[i] = e
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(n)]
+    for t in threads:
+        t.start()
+    time.sleep(0.05)          # let the submits queue up
+    srv.stop(drain=True)      # must answer all six, then return
+    for t in threads:
+        t.join(timeout=120)
+    assert all(e is None for e in errors), errors
+    assert all(r is not None and r.shape == (SIZE, SIZE)
+               for r in results)
+    # post-drain submits are refused, not silently queued forever
+    with pytest.raises(RuntimeError):
+        srv.submit(np.zeros((SIZE, SIZE, 3), np.float32), timeout=1.0)
