@@ -70,6 +70,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="quirk: run the randomized augmentation chain at "
                         "eval time too, as the reference does "
                         "(config.py:27-38)")
+    p.add_argument("--skip-bad-tiles", action="store_true",
+                   help="substitute a readable tile (with a one-time "
+                        "warning) when one fails to decode, instead of "
+                        "crashing the run — production guard for corrupt "
+                        "files; forces the Python decode path (the native "
+                        "C++ loader fails fast)")
     p.add_argument("--perf", action="store_true",
                    help="TPU throughput preset: tanh-approx GELU + scan "
                         "unroll 4 — the bench.py EMA-mode config (exact-"
@@ -265,6 +271,8 @@ def configs_from_args(args) -> Tuple[DataConfig, TrainConfig]:
         dcfg = dcfg.replace(batch_size=args.batch_size)
     if getattr(args, "reference_eval_aug", False):
         dcfg = dcfg.replace(reference_eval_aug=True)
+    if getattr(args, "skip_bad_tiles", False):
+        dcfg = dcfg.replace(bad_tile_policy="substitute")
     tc = TrainConfig()
     if args.epochs:
         tc = tc.replace(epochs=args.epochs)
@@ -418,16 +426,20 @@ def make_loaders(dcfg: DataConfig, seed: int = 0,
 def _make_loader(ds, bs, dcfg, seed):
     """Prefer the native (C++ threaded) decode path when built; fall back
     to the PIL loader. Multi-host sharding only on the Python loader for
-    now (single-host pods use the native path)."""
+    now (single-host pods use the native path). `--skip-bad-tiles`
+    (bad_tile_policy='substitute') also routes through the Python loader —
+    the native pool fails fast on a corrupt file."""
     from semisupervisedobjectdetection_tpu.data import native
 
-    if jax.process_count() == 1 and native.available():
+    if (jax.process_count() == 1 and native.available()
+            and dcfg.bad_tile_policy == "raise"):
         return native.NativeBatchLoader(
             ds, bs, shuffle=dcfg.shuffle, drop_last=dcfg.drop_last,
             seed=seed)
     return TileLoader(
         ds, bs, shuffle=dcfg.shuffle, drop_last=dcfg.drop_last, seed=seed,
-        num_shards=jax.process_count(), shard_index=jax.process_index())
+        num_shards=jax.process_count(), shard_index=jax.process_index(),
+        on_bad_tile=dcfg.bad_tile_policy)
 
 
 def host_floats(xs) -> list:

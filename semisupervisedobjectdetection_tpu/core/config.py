@@ -183,6 +183,10 @@ class DataConfig:
     # flag). Off by default because it makes eval metrics stochastic; turn
     # on (CLI --reference-eval-aug) for a full-parity run.
     reference_eval_aug: bool = False
+    # "raise" (reference parity: a corrupt tile kills the run) or
+    # "substitute" (CLI --skip-bad-tiles: warn once and batch a readable
+    # tile in its place — batch shapes stay static for the compiled steps).
+    bad_tile_policy: str = "raise"
 
     def replace(self, **kw) -> "DataConfig":
         return dataclasses.replace(self, **kw)

@@ -182,3 +182,60 @@ def test_match_pair_writes_outputs(tmp_path):
     out = match_pair(img, img, str(tmp_path / "m"))
     assert out["sift_matches"] >= 1
     assert os.path.exists(out["sift_png"])
+
+
+def test_bad_tile_substitution(tmp_path, capsys):
+    """--skip-bad-tiles (TileLoader on_bad_tile='substitute'): a corrupt
+    tile is replaced by a readable one — batch shapes stay static, the
+    epoch completes, ONE warning per bad file — while the default policy
+    raises like the reference would
+    (`archaeological_georgia_biostyle_dataloader.py:59-69`)."""
+    from semisupervisedobjectdetection_tpu.data.loader import TileLoader
+    from semisupervisedobjectdetection_tpu.data.synthetic import (
+        write_synthetic_dataset,
+    )
+    from semisupervisedobjectdetection_tpu.data.tiles import TileDataset
+
+    train = str(tmp_path / "train")
+    masks = str(tmp_path / "masks")
+    write_synthetic_dataset(train, masks, n=6, size=64, seed=0)
+    ds = TileDataset(train, masks, canvas=64)
+    with open(ds.image_path(2), "wb") as f:
+        f.write(b"not a png at all")
+
+    ld = TileLoader(ds, 3, shuffle=False, drop_last=False,
+                    on_bad_tile="substitute")
+    batches = list(ld)
+    assert sum(b[0].shape[0] for b in batches) == 6
+    for imgs, msk in batches:
+        assert imgs.shape[1:] == (64, 64, 3)
+        assert msk is not None and msk.shape[1:] == (64, 64)
+    out = capsys.readouterr().out
+    assert out.count("WARNING: bad tile") == 1, out
+
+    list(ld)  # second epoch: the bad index is remembered, no new warning
+    assert "WARNING" not in capsys.readouterr().out
+
+    with pytest.raises(Exception):
+        list(TileLoader(ds, 3, shuffle=False, on_bad_tile="raise"))
+    with pytest.raises(ValueError):
+        TileLoader(ds, 3, on_bad_tile="drop")
+
+
+def test_bad_tile_all_unreadable_raises(tmp_path):
+    from semisupervisedobjectdetection_tpu.data.loader import TileLoader
+    from semisupervisedobjectdetection_tpu.data.synthetic import (
+        write_synthetic_dataset,
+    )
+    from semisupervisedobjectdetection_tpu.data.tiles import TileDataset
+
+    train = str(tmp_path / "train")
+    masks = str(tmp_path / "masks")
+    write_synthetic_dataset(train, masks, n=3, size=64, seed=0)
+    ds = TileDataset(train, masks, canvas=64)
+    for i in range(3):
+        with open(ds.image_path(i), "wb") as f:
+            f.write(b"junk")
+    ld = TileLoader(ds, 3, shuffle=False, on_bad_tile="substitute")
+    with pytest.raises(RuntimeError, match="no readable tile"):
+        list(ld)
