@@ -160,6 +160,92 @@ def save_last(directory: str, prefix: str, state: TrainState, epoch: int,
     return path
 
 
+class _AsyncSaver:
+    """Background `save_last` writer: overlaps the device→host transfer +
+    disk write of the per-epoch resume checkpoint with the next epoch's
+    compute (at B5 scale the synchronous write costs seconds per epoch —
+    mostly d2h through the tunnel).
+
+    Donation safety: `submit` snapshots the state with a device-side
+    `jnp.copy` BEFORE returning — the caller's buffers are donated by the
+    next train step while the worker is still reading, so saving the
+    original arrays would read deleted buffers. The copy is an on-device
+    HBM→HBM transfer (fast, dispatched async); only the snapshot crosses
+    to host on the worker thread.
+
+    Saves coalesce per (directory, prefix): if epoch N's write is still
+    running when epoch N+1 ends, the queued-but-unstarted N write is
+    replaced — `_last` semantics only need the newest state. `wait()`
+    blocks until everything queued/running has landed (call before
+    process exit and before a preemption save to the same path)."""
+
+    def __init__(self):
+        import threading
+
+        self._jobs: dict = {}          # (dir, prefix) -> job tuple
+        self._cv = threading.Condition()
+        self._busy = 0
+        self._started = False
+
+    def _run(self) -> None:
+        while True:
+            with self._cv:
+                while not self._jobs:
+                    self._cv.wait()
+                key = next(iter(self._jobs))
+                job = self._jobs.pop(key)
+                self._busy += 1
+            try:
+                save_last(*job)
+            except Exception as e:  # surface, don't kill the worker
+                print(f"WARNING: async checkpoint save of "
+                      f"{key[1]}_last failed: {type(e).__name__}: {e}",
+                      flush=True)
+            finally:
+                with self._cv:
+                    self._busy -= 1
+                    self._cv.notify_all()
+
+    def submit(self, directory: str, prefix: str, state: TrainState,
+               epoch: int, best_loss: float = float("inf")) -> None:
+        import threading
+
+        import jax
+        import jax.numpy as jnp
+
+        snap = jax.tree.map(jnp.copy, state)
+        with self._cv:
+            if not self._started:
+                t = threading.Thread(target=self._run, daemon=True,
+                                     name="sso-async-ckpt")
+                t.start()
+                self._started = True
+            self._jobs[(directory, prefix)] = (
+                directory, prefix, snap, epoch, best_loss)
+            self._cv.notify_all()
+
+    def wait(self) -> None:
+        with self._cv:
+            while self._jobs or self._busy:
+                self._cv.wait()
+
+
+_ASYNC = _AsyncSaver()
+
+
+def save_last_async(directory: str, prefix: str, state: TrainState,
+                    epoch: int, best_loss: float = float("inf")) -> None:
+    """`save_last` on a background thread (see _AsyncSaver). The write is
+    durable only after `wait_pending_saves()`; training loops call that at
+    loop end and before any preemption save."""
+    _ASYNC.submit(directory, prefix, state, epoch, best_loss)
+
+
+def wait_pending_saves() -> None:
+    """Block until every `save_last_async` has landed on disk."""
+    _ASYNC.wait()
+
+
 def load_last(directory: str, prefix: str, template: TrainState):
     """Restore `{prefix}_last` if present: returns
     (state, next_epoch, best_loss) or None. `next_epoch` is the epoch to

@@ -375,7 +375,11 @@ def preempt_exit(args, saves, epoch: int):
     if args.checkpoint_dir:
         from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
             save_last,
+            wait_pending_saves,
         )
+        # an in-flight --async-checkpoint write to the same path must land
+        # before we overwrite it with the preemption state
+        wait_pending_saves()
         for prefix, state, best in saves:
             save_last(args.checkpoint_dir, prefix, state, epoch - 1, best)
             wrote.append(f"{prefix}_last")

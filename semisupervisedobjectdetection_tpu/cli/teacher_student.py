@@ -189,6 +189,7 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
             teacher = ts.copy_student_to_teacher(teacher, student)
             print("!!! teacher reset !!!")
         _save_lasts(args, teacher, student, epoch, best_s, best_t)
+    _wait_saves(args)
     return min(best_s, best_t)
 
 
@@ -344,6 +345,7 @@ def _ema_train_loop(args, dcfg, tc, loaders, cfg, logger, *, teacher,
             if args.checkpoint_dir:
                 ckpt_t.maybe_save(teacher, epoch, train_loss, eval_t, fps)
         _save_lasts(args, teacher, student, epoch, best_s, best_t)
+    _wait_saves(args)
     return min(best_s, best_t)
 
 
@@ -389,15 +391,29 @@ def _try_resume(args, teacher, student, ckpt_s, ckpt_t, rng):
 
 def _save_lasts(args, teacher, student, epoch, best_s, best_t):
     """Write both `_last` resume checkpoints (only in --resume mode; the
-    B5 full-state write costs seconds per epoch, so it is opt-in)."""
+    B5 full-state write costs seconds per epoch, so it is opt-in —
+    --async-checkpoint moves it to a background thread overlapped with
+    the next epoch)."""
     if not (getattr(args, "resume", False) and args.checkpoint_dir
             and not getattr(args, "tune", False)):
         return
     from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
         save_last,
+        save_last_async,
     )
-    save_last(args.checkpoint_dir, "ts_teacher", teacher, epoch, best_t)
-    save_last(args.checkpoint_dir, "ts_student", student, epoch, best_s)
+    save = (save_last_async if getattr(args, "async_checkpoint", False)
+            else save_last)
+    save(args.checkpoint_dir, "ts_teacher", teacher, epoch, best_t)
+    save(args.checkpoint_dir, "ts_student", student, epoch, best_s)
+
+
+def _wait_saves(args):
+    """Make any --async-checkpoint writes durable before returning."""
+    if getattr(args, "async_checkpoint", False):
+        from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
+            wait_pending_saves,
+        )
+        wait_pending_saves()
 
 
 def main(argv=None):
@@ -423,6 +439,11 @@ def main(argv=None):
                    help="crash-safe mode: write ts_{teacher,student}_last "
                         "checkpoints every epoch and continue from them "
                         "when present (both loops; disabled under --tune)")
+    p.add_argument("--async-checkpoint", action="store_true",
+                   help="with --resume: write the per-epoch _last "
+                        "checkpoints on a background thread (device-side "
+                        "snapshot now, d2h + disk write overlapped with "
+                        "the next epoch)")
     p.add_argument("--tune", action="store_true",
                    help="random-order grid over supervise_weight x "
                         "threshold (reference grid `:274-280`)")

@@ -183,3 +183,58 @@ def test_ema_cli_resumes_both_models(tmp_path):
                                  "--metrics-csv", str(tmp_path / "b.csv")])
     assert _read_epochs(str(tmp_path / "a.csv")) == [0]
     assert _read_epochs(str(tmp_path / "b.csv")) == [1]
+
+
+def test_async_save_last_roundtrip_and_coalesce(tmp_path):
+    """save_last_async (orbax_io._AsyncSaver): the background write lands
+    after wait_pending_saves() and round-trips through load_last; rapid
+    re-submits for the same (dir, prefix) coalesce to the NEWEST state
+    (the _last contract only needs the latest)."""
+    from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
+        save_last_async,
+        wait_pending_saves,
+    )
+
+    state = _tiny_state()
+    save_last_async(str(tmp_path), "async", state, epoch=1, best_loss=0.9)
+    save_last_async(str(tmp_path), "async", state, epoch=2, best_loss=0.7)
+    save_last_async(str(tmp_path), "async", state, epoch=5, best_loss=0.4)
+    wait_pending_saves()
+    got = load_last(str(tmp_path), "async", _tiny_state(seed=1))
+    assert got is not None
+    restored, start_epoch, best = got
+    assert start_epoch == 6 and best == 0.4
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["decode_head"]["classifier"]["kernel"]),
+        np.asarray(state.params["decode_head"]["classifier"]["kernel"]))
+
+
+def test_async_save_is_donation_safe(tmp_path):
+    """The async writer must snapshot device-side BEFORE returning: the
+    caller's buffers are donated by the next train step while the write
+    is still in flight. Donate (delete) the original buffers right after
+    submit and assert the checkpoint still carries the pre-donation
+    values."""
+    from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
+        save_last_async,
+        wait_pending_saves,
+    )
+
+    state = _tiny_state()
+    key = state.params["decode_head"]["classifier"]["kernel"]
+    expect = np.asarray(key).copy()
+
+    save_last_async(str(tmp_path), "donated", state, epoch=0)
+    # donate every param buffer the saver was handed (x+1 overwrites
+    # in place under donation; the originals are deleted)
+    bump = jax.jit(lambda t: jax.tree.map(lambda x: x + 1, t),
+                   donate_argnums=0)
+    new_params = bump(state.params)
+    jax.block_until_ready(new_params)
+    wait_pending_saves()
+
+    got = load_last(str(tmp_path), "donated", _tiny_state(seed=1))
+    assert got is not None
+    np.testing.assert_array_equal(
+        np.asarray(got[0].params["decode_head"]["classifier"]["kernel"]),
+        expect)
