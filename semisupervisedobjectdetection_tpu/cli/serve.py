@@ -85,6 +85,11 @@ class InferenceServer:
         self.stats = {"requests": 0, "batches": 0, "errors": 0,
                       "images_in_batches": 0}
         self._stats_lock = threading.Lock()
+        # end-to-end submit latencies (seconds), last 1024 — enough for
+        # stable p50/p99 in /stats without unbounded growth
+        from collections import deque
+
+        self._lat = deque(maxlen=1024)
 
     # ---------------------------------------------------------- model thread
     def _warmup(self) -> None:
@@ -137,6 +142,7 @@ class InferenceServer:
         (img_size, img_size) probability mask."""
         if self._draining.is_set() or self._stop.is_set():
             raise RuntimeError("server is shutting down")
+        t0 = time.monotonic()
         p = _Pending(arr)
         self._q.put(p)
         with self._stats_lock:
@@ -145,6 +151,8 @@ class InferenceServer:
             raise TimeoutError("predict timed out")
         if p.error is not None:
             raise p.error
+        with self._stats_lock:
+            self._lat.append(time.monotonic() - t0)
         return p.result
 
     # ------------------------------------------------------------- http part
@@ -180,9 +188,18 @@ class InferenceServer:
                 elif path == "/stats":
                     with server._stats_lock:
                         s = dict(server.stats)
+                        lat = sorted(server._lat)
                     s["mean_batch_fill"] = (
                         s["images_in_batches"] / s["batches"]
                         if s["batches"] else 0.0)
+                    if lat:
+                        def q(p):
+                            return round(
+                                lat[min(int(p * (len(lat) - 1)),
+                                        len(lat) - 1)] * 1e3, 2)
+                        s["latency_ms"] = {"p50": q(0.50), "p90": q(0.90),
+                                           "p99": q(0.99),
+                                           "n": len(lat)}
                     self._json(200, s)
                 else:
                     self._json(404, {"error": f"no route {path}"})

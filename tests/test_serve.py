@@ -98,6 +98,10 @@ def test_concurrent_requests_share_batches(server):
     # into fewer steps than requests (>= 2 batches, <= 6)
     assert 2 <= new_batches <= 6
     assert stats["requests"] - before["requests"] == 6
+    # end-to-end latency percentiles (submit -> result) are reported
+    lat = stats["latency_ms"]
+    assert lat["n"] >= 6
+    assert 0 < lat["p50"] <= lat["p90"] <= lat["p99"]
 
 
 def test_batched_result_matches_direct_predict(server):
