@@ -127,3 +127,21 @@ def test_export_cli_writes_artifact(tmp_path):
                      "--platforms", "cpu", "--out", out])
     hdr = read_header(out)
     assert hdr["batch"] == 2 and hdr["img_size"] == 32
+
+
+def test_fp8_export_serves_quantized_weights(model, tmp_path):
+    """fp8 (e4m3) snapshots export through jax.export like int8: the
+    baked StableHLO carries the fp8 kernels and the loaded artifact
+    predicts bit-identically to the live quantized model."""
+    model.quantize(kind="fp8")
+    try:
+        path = str(tmp_path / "tiny_fp8.ssod")
+        header = model.export_serving(path, batch_size=2, img_size=SIZE,
+                                      platforms=("cpu",))
+        assert header["quant"] == "fp8"
+        x = _images(2, seed=2)
+        got = load_serving(path).predict(x)
+        want = np.asarray(model.predict(x))  # fp8 snapshot active
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    finally:
+        model.dequantize()
