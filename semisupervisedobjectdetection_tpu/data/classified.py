@@ -48,5 +48,6 @@ def category_loaders(cfg: DataConfig, flag: str = "labeled",
         loaders.append(TileLoader(ds, cfg.few_shot_batch_size,
                                   shuffle=cfg.shuffle,
                                   drop_last=cfg.drop_last,
-                                  seed=seed * 1000 + i))
+                                  seed=seed * 1000 + i,
+                                  on_bad_tile=cfg.bad_tile_policy))
     return loaders
