@@ -82,16 +82,21 @@ def main() -> int:
     dice_f32 = 1.0 - float(dice_argmax_loss(
         predict_masks(logits_f32, (64, 64)), ev_masks))
 
-    qvars = {"params": quantize_dense_params(state.params),
-             "batch_stats": state.batch_stats}
-    qcfg = CFG.replace(quant="int8")
-    logits_q, _ = jax.jit(SegFormer(qcfg).apply)(qvars, ev_imgs)
-    dice_q = 1.0 - float(dice_argmax_loss(
-        predict_masks(logits_q, (64, 64)), ev_masks))
-
-    print(f"dice_f32={dice_f32:.6f} dice_int8={dice_q:.6f} "
-          f"delta={abs(dice_f32 - dice_q):.6f}")
-    return 0 if abs(dice_f32 - dice_q) <= 0.01 else 1
+    rc = 0
+    # Same eval-metric bound for BOTH serving widths on the same trained
+    # model: int8 (v5e MXU path) and fp8 e4m3 (v6e+ fp8-MXU path).
+    for kind in ("int8", "fp8"):
+        qvars = {"params": quantize_dense_params(state.params, kind=kind),
+                 "batch_stats": state.batch_stats}
+        qcfg = CFG.replace(quant=kind)
+        logits_q, _ = jax.jit(SegFormer(qcfg).apply)(qvars, ev_imgs)
+        dice_q = 1.0 - float(dice_argmax_loss(
+            predict_masks(logits_q, (64, 64)), ev_masks))
+        print(f"dice_f32={dice_f32:.6f} dice_{kind}={dice_q:.6f} "
+              f"delta={abs(dice_f32 - dice_q):.6f}")
+        if abs(dice_f32 - dice_q) > 0.01:
+            rc = 1
+    return rc
 
 
 if __name__ == "__main__":
