@@ -117,6 +117,7 @@ def main(argv=None):
             save_last(args.checkpoint_dir, "segformer_autoencoder",
                       model.state, epoch, best)
     logger.close()
+    common.maybe_plot_curves(args)
 
 
 if __name__ == "__main__":

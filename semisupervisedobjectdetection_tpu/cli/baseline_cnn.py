@@ -146,6 +146,7 @@ def main(argv=None):
 
                 save_last(args.checkpoint_dir, arch, state, epoch, best)
     logger.close()
+    common.maybe_plot_curves(args)
 
 
 if __name__ == "__main__":

@@ -62,6 +62,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--hf-weights",
                    help="torch .pth/.safetensors SegFormer weights")
     p.add_argument("--metrics-csv", help="CSV metrics path")
+    p.add_argument("--plot-curves", action="store_true",
+                   help="after training, render --metrics-csv to a "
+                        "loss/metric-curve PNG next to it "
+                        "(utils/plot_metrics.py — replaces the "
+                        "reference's figures/ dumps, "
+                        "segFormer_main.py:88-98)")
     p.add_argument("--profile-dir", help="jax.profiler trace dir")
     p.add_argument("--no-quirks", action="store_true",
                    help="disable reference-quirk parity (train prompts, "
@@ -444,6 +450,18 @@ def _make_loader(ds, bs, dcfg, seed):
         ds, bs, shuffle=dcfg.shuffle, drop_last=dcfg.drop_last, seed=seed,
         num_shards=jax.process_count(), shard_index=jax.process_index(),
         on_bad_tile=dcfg.bad_tile_policy)
+
+
+def maybe_plot_curves(args) -> None:
+    """Render the run's metrics CSV to a loss-curve PNG when the CLI was
+    invoked with --plot-curves (utils/plot_metrics.py; reference artifact:
+    `segFormer_main.py:88-98`)."""
+    if getattr(args, "plot_curves", False):
+        from semisupervisedobjectdetection_tpu.utils.plot_metrics import (
+            plot_metrics,
+        )
+
+        plot_metrics(getattr(args, "metrics_csv", None))
 
 
 def host_floats(xs) -> list:

@@ -254,6 +254,7 @@ def main(argv=None):
             save_last(args.checkpoint_dir, f"fewshot_{args.mode}", state,
                       epoch, best)
     logger.close()
+    common.maybe_plot_curves(args)
 
 
 if __name__ == "__main__":

@@ -24,6 +24,7 @@ from semisupervisedobjectdetection_tpu.cli import common
 from semisupervisedobjectdetection_tpu.core.config import MIT_VARIANTS
 from semisupervisedobjectdetection_tpu.eval.metrics import (
     binary_miou,
+    per_image_miou,
     dice_score,
 )
 from semisupervisedobjectdetection_tpu.utils import preemption
@@ -151,7 +152,7 @@ def train_loop(model: SegFormerModel, loaders, dcfg, tc, args,
         train_losses = common.host_floats(train_losses)
 
         t0 = time.time()
-        eval_losses, dices, mious = [], [], []
+        eval_losses, dices, mious, pi_mious = [], [], [], []
         for images_u8, masks_u8 in loaders["eval"]:
             imgs, masks = common.device_eval_batch(images_u8, masks_u8,
                                                    dcfg)
@@ -159,8 +160,10 @@ def train_loop(model: SegFormerModel, loaders, dcfg, tc, args,
             eval_losses.append(loss)
             dices.append(dice_score(pred, masks))
             mious.append(binary_miou(pred, masks))
+            pi_mious.append(per_image_miou(pred, masks))
         eval_losses = common.host_floats(eval_losses)
         dices, mious = common.host_floats(dices), common.host_floats(mious)
+        pi_mious = common.host_floats(pi_mious)
         fps = len(loaders["eval"]) / max(time.time() - t0, 1e-9)
 
         train_loss = float(np.mean(train_losses)) if train_losses else 0.0
@@ -170,6 +173,8 @@ def train_loop(model: SegFormerModel, loaders, dcfg, tc, args,
         logger.log(epoch, train_loss=train_loss, eval_loss=eval_loss,
                    dice=float(np.mean(dices)) if dices else 0.0,
                    miou=float(np.mean(mious)) if mious else 0.0,
+                   miou_per_image=(float(np.mean(pi_mious))
+                                   if pi_mious else 0.0),
                    fps=fps, lr=lr_now)
         if eval_loss < best:
             best = eval_loss
@@ -359,6 +364,7 @@ def main(argv=None):
     with profile_trace(args.profile_dir):
         train_loop(model, loaders, dcfg, tc, args, logger, args.loss)
     logger.close()
+    common.maybe_plot_curves(args)
 
 
 if __name__ == "__main__":

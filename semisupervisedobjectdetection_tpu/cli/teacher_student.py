@@ -25,7 +25,10 @@ from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
 )
 from semisupervisedobjectdetection_tpu.cli import common
 from semisupervisedobjectdetection_tpu.core.config import MIT_VARIANTS
-from semisupervisedobjectdetection_tpu.eval.metrics import binary_miou
+from semisupervisedobjectdetection_tpu.eval.metrics import (
+    binary_miou,
+    per_image_miou,
+)
 from semisupervisedobjectdetection_tpu.models.segformer import SegFormer
 from semisupervisedobjectdetection_tpu.train.state import TrainState
 from semisupervisedobjectdetection_tpu.train.supervised import eval_step
@@ -152,7 +155,7 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
 
         # -------- eval both models (`:147-172`)
         t0 = time.time()
-        ev_s, ev_t, mious = [], [], []
+        ev_s, ev_t, mious, pi_mious = [], [], [], []
         for images_u8, masks_u8 in loaders["eval"]:
             imgs, masks = common.device_eval_batch(images_u8, masks_u8,
                                                    dcfg)
@@ -161,8 +164,10 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
             ev_t.append(tl)
             ev_s.append(sl)
             mious.append(binary_miou(pred, masks))
+            pi_mious.append(per_image_miou(pred, masks))
         ev_t, ev_s = common.host_floats(ev_t), common.host_floats(ev_s)
         mious = common.host_floats(mious)
+        pi_mious = common.host_floats(pi_mious)
         fps = len(loaders["eval"]) / max(time.time() - t0, 1e-9)
 
         train_loss = float(np.mean(s_losses)) if s_losses else 0.0
@@ -172,7 +177,10 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
                    teacher_train=float(np.mean(t_losses)) if t_losses
                    else 0.0,
                    teacher_eval=eval_t, images_used=images_used,
-                   miou=float(np.mean(mious)) if mious else 0.0, fps=fps)
+                   miou=float(np.mean(mious)) if mious else 0.0,
+                   miou_per_image=(float(np.mean(pi_mious))
+                                   if pi_mious else 0.0),
+                   fps=fps)
 
         # Per-model bests (ref `:175-186` keeps independent teacher/student
         # best checkpoints).
@@ -313,7 +321,7 @@ def _ema_train_loop(args, dcfg, tc, loaders, cfg, logger, *, teacher,
                     if np.isfinite(x)]
 
         t0 = time.time()
-        ev_s, ev_t, mious = [], [], []
+        ev_s, ev_t, mious, pi_mious = [], [], [], []
         for images_u8, masks_u8 in loaders["eval"]:
             imgs, masks = common.device_eval_batch(images_u8, masks_u8,
                                                    dcfg)
@@ -322,8 +330,10 @@ def _ema_train_loop(args, dcfg, tc, loaders, cfg, logger, *, teacher,
             ev_t.append(tl)
             ev_s.append(sl)
             mious.append(binary_miou(pred, masks))
+            pi_mious.append(per_image_miou(pred, masks))
         ev_t, ev_s = common.host_floats(ev_t), common.host_floats(ev_s)
         mious = common.host_floats(mious)
+        pi_mious = common.host_floats(pi_mious)
         fps = len(loaders["eval"]) / max(time.time() - t0, 1e-9)
 
         train_loss = float(np.mean(s_losses)) if s_losses else 0.0
@@ -333,7 +343,10 @@ def _ema_train_loop(args, dcfg, tc, loaders, cfg, logger, *, teacher,
                    teacher_eval=eval_t, images_used=images_used,
                    pseudo_loss=float(np.mean(p_losses)) if p_losses
                    else 0.0,
-                   miou=float(np.mean(mious)) if mious else 0.0, fps=fps)
+                   miou=float(np.mean(mious)) if mious else 0.0,
+                   miou_per_image=(float(np.mean(pi_mious))
+                                   if pi_mious else 0.0),
+                   fps=fps)
         print(f"epoch {epoch}: {images_used} unlabeled images used "
               f"(ema), student eval {eval_s:.4f}")
         if eval_s < best_s:
@@ -493,6 +506,7 @@ def main(argv=None):
                   supervise_weight=args.supervise_weight,
                   threshold=args.threshold, epochs=tc.epochs)
     logger.close()
+    common.maybe_plot_curves(args)
 
 
 if __name__ == "__main__":

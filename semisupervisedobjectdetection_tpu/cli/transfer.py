@@ -94,6 +94,7 @@ def main(argv=None):
                         not args.per_layer_prompts)
     train_loop(model, loaders, dcfg, tc, args, logger)
     logger.close()
+    common.maybe_plot_curves(args)
 
 
 if __name__ == "__main__":

@@ -198,6 +198,7 @@ def main(argv=None):
                 save_last(args.checkpoint_dir, "vit_semi_student", student,
                           epoch, best)
     logger.close()
+    common.maybe_plot_curves(args)
 
 
 if __name__ == "__main__":
