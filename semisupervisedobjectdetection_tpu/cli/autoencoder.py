@@ -6,7 +6,10 @@ Run:  python -m semisupervisedobjectdetection_tpu.cli.autoencoder \
 Trains a num_labels=3 SegFormer to reconstruct tiles (labeled then
 unlabeled loops per epoch, ref `:49-68`); best checkpoint gated on
 train+eval loss like the reference (`:107-108`). The resulting checkpoint
-warm-starts the transfer-learning CLI.
+warm-starts the transfer-learning CLI. `--tune` sweeps
+lr x weight-decay x scheduler-gamma on an 80/20 labeled split like
+`Hyperparameter_Tuning` (`:133-170`: shuffled grid, first
+`--tune-max`(=9) points, no unlabeled loop, no checkpoints).
 """
 
 from __future__ import annotations
@@ -22,34 +25,26 @@ from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
     save_state,
 )
 from semisupervisedobjectdetection_tpu.cli import common
-from semisupervisedobjectdetection_tpu.core.config import MIT_VARIANTS
+from semisupervisedobjectdetection_tpu.core.config import (
+    MIT_VARIANTS,
+    product_grid,
+)
 from semisupervisedobjectdetection_tpu.utils import preemption
 from semisupervisedobjectdetection_tpu.utils.logging import MetricLogger
 
 
-def main(argv=None):
-    p = common.base_parser(__doc__)
-    p.add_argument("--resume", action="store_true",
-                   help="crash-safe mode: write a *_last checkpoint every "
-                        "epoch and continue from it when present")
-    args = p.parse_args(argv)
-    common.warn_parallel_unsupported(args, 'autoencoder')
-    dcfg, tc = common.configs_from_args(args)
-    dcfg = common.ensure_data(args, dcfg, need_unlabeled=True)
-    loaders = common.make_loaders(dcfg, args.seed,
-                                  flags=("train", "eval", "unlabeled"))
-    common.check_grad_accum(args, loaders["train"])
-    common.check_grad_accum(args, loaders["unlabeled"])
-    cfg = MIT_VARIANTS[args.variant](num_labels=3, dtype=args.dtype)
-    cfg = common.apply_perf_preset(cfg, args)
-    model = SegFormerModel(pretrain_weight=args.pretrain_weight,
-                           num_labels=3, train_config=tc, config=cfg,
-                           grad_accum=args.grad_accum)
-    logger = MetricLogger(args.metrics_csv)
+def train_loop(model, loaders, dcfg, tc, args, logger,
+               save_model=True) -> float:
+    """The reference `Train` loop (`:30-131`): labeled then unlabeled
+    reconstruction passes per epoch, eval MSE, best gated on
+    train+eval loss. Returns the best train+eval loss (the tuning
+    objective, ref `:161-166`). `save_model=False` (tuning) skips all
+    checkpoint writes like the reference's `save_model=False`."""
     rng = jax.random.PRNGKey(args.seed)
     best = float("inf")
     start_epoch = 0
-    if args.resume and args.checkpoint_dir:
+    resume = save_model and args.resume and args.checkpoint_dir
+    if resume:
         from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
             load_last,
         )
@@ -65,12 +60,13 @@ def main(argv=None):
         prefetch_train_batches,
     )
 
+    flags = [f for f in ("train", "unlabeled") if f in loaders]
     for epoch in range(start_epoch, tc.epochs):
         train_losses = []
         # labeled tiles then unlabeled tiles (ref `:49-68`); batches staged
         # by a background thread, metrics synced once per epoch
         # (per-step float() costs a tunnel round trip — common.host_floats).
-        for flag in ("train", "unlabeled"):
+        for flag in flags:
             rng, epoch_rng = jax.random.split(rng)
             # masks stripped: the AE reconstructs images (ref `:49-68`)
             imgs_only = ((im, None) for im, _ in loaders[flag])
@@ -105,17 +101,99 @@ def main(argv=None):
         eval_loss = float(np.mean(eval_losses))
         logger.log(epoch, train_loss=train_loss, eval_loss=eval_loss,
                    sec_per_batch=spb)
-        if train_loss + eval_loss < best and args.checkpoint_dir:
+        if train_loss + eval_loss < best:
             best = train_loss + eval_loss
-            name = best_checkpoint_name("segformer_autoencoder", epoch,
-                                        train_loss, eval_loss, spb)
-            save_state(f"{args.checkpoint_dir}/{name}", model.state)
-        if args.resume and args.checkpoint_dir:
+            if save_model and args.checkpoint_dir:
+                name = best_checkpoint_name("segformer_autoencoder", epoch,
+                                            train_loss, eval_loss, spb)
+                save_state(f"{args.checkpoint_dir}/{name}", model.state)
+        if resume:
             from semisupervisedobjectdetection_tpu.checkpoint.orbax_io \
                 import save_last
 
             save_last(args.checkpoint_dir, "segformer_autoencoder",
                       model.state, epoch, best)
+    return best
+
+
+def main(argv=None):
+    p = common.base_parser(__doc__)
+    p.add_argument("--resume", action="store_true",
+                   help="crash-safe mode: write a *_last checkpoint every "
+                        "epoch and continue from it when present "
+                        "(ignored under --tune)")
+    p.add_argument("--tune", action="store_true",
+                   help="grid search lr x weight-decay x scheduler-gamma "
+                        "on an 80/20 labeled split "
+                        "(ref Hyperparameter_Tuning, `:133-170`)")
+    p.add_argument("--tune-lrs", default="1e-4,5e-5,1e-5")
+    p.add_argument("--tune-wds", default="5e-5")
+    p.add_argument("--tune-gammas", default="0.97")
+    p.add_argument("--tune-max", type=int, default=9,
+                   help="cap on shuffled grid points (ref takes the "
+                        "first 9, `:157`)")
+    args = p.parse_args(argv)
+    common.warn_parallel_unsupported(args, 'autoencoder')
+    if args.tune and args.resume:
+        print("--resume is ignored under --tune (grid points must not "
+              "share one _last checkpoint)")
+        args.resume = False
+    dcfg, tc = common.configs_from_args(args)
+    cfg = MIT_VARIANTS[args.variant](num_labels=3, dtype=args.dtype)
+    cfg = common.apply_perf_preset(cfg, args)
+    logger = MetricLogger(args.metrics_csv)
+
+    if args.tune:
+        # Reference tuning splits the LABELED set 80/20 and never touches
+        # the unlabeled tiles (`:133-143` passes unlabel_dataloader=None).
+        from semisupervisedobjectdetection_tpu.data.loader import (
+            split_dataset,
+        )
+
+        dcfg = common.ensure_data(args, dcfg)
+        loaders = common.make_loaders(dcfg, args.seed, flags=("train",))
+        tr, va = split_dataset(loaders["train"].dataset, 0.8, args.seed)
+        sub = {
+            "train": common._make_loader(
+                tr, min(dcfg.batch_size, max(len(tr), 1)), dcfg,
+                args.seed),
+            "eval": common._make_loader(
+                va, min(dcfg.batch_size, max(len(va), 1)), dcfg,
+                args.seed),
+        }
+        common.check_grad_accum(args, sub["train"])
+        grid = product_grid(
+            [float(x) for x in args.tune_lrs.split(",")],
+            [float(x) for x in args.tune_wds.split(",")],
+            [float(x) for x in args.tune_gammas.split(",")],
+            shuffle=True, seed=args.seed)[:args.tune_max]
+        best, best_pt = float("inf"), None
+        for lr, wd, gamma in grid:
+            print(f"tuning: lr={lr} weight_decay={wd} scheduler={gamma}")
+            tci = tc.replace(lr=lr, weight_decay=wd, lr_decay=gamma,
+                             epochs=max(tc.epochs // 5, 1))
+            model = SegFormerModel(num_labels=3, train_config=tci,
+                                   config=cfg, grad_accum=args.grad_accum)
+            loss = train_loop(model, sub, dcfg, tci, args, logger,
+                              save_model=False)
+            print(f"lr={lr} wd={wd} gamma={gamma}: "
+                  f"best train+eval {loss:.4f}")
+            if loss < best:
+                best, best_pt = loss, (lr, wd, gamma)
+        print(f"best: lr={best_pt[0]} weight_decay={best_pt[1]} "
+              f"scheduler={best_pt[2]} loss={best:.4f}")
+        logger.close()
+        return
+
+    dcfg = common.ensure_data(args, dcfg, need_unlabeled=True)
+    loaders = common.make_loaders(dcfg, args.seed,
+                                  flags=("train", "eval", "unlabeled"))
+    common.check_grad_accum(args, loaders["train"])
+    common.check_grad_accum(args, loaders["unlabeled"])
+    model = SegFormerModel(pretrain_weight=args.pretrain_weight,
+                           num_labels=3, train_config=tc, config=cfg,
+                           grad_accum=args.grad_accum)
+    train_loop(model, loaders, dcfg, tc, args, logger)
     logger.close()
     common.maybe_plot_curves(args)
 

@@ -102,6 +102,17 @@ def main(argv=None):
                    help="eval-only from --pretrain-weight with CLS tokens "
                         "(reference `prediction`, "
                         "segFormer_fewshot_learning.py:27-41)")
+    p.add_argument("--tune", action="store_true",
+                   help="grid search lr x weight-decay x scheduler-gamma "
+                        "over the selected --mode loop (reference grid "
+                        "`:362-363`: lr {8e-5,5e-5,2e-5,5e-6} x wd 5e-5 "
+                        "x gamma 0.97, shuffled, first --tune-max points)")
+    p.add_argument("--tune-lrs", default="8e-5,5e-5,2e-5,5e-6")
+    p.add_argument("--tune-wds", default="5e-5")
+    p.add_argument("--tune-gammas", default="0.97")
+    p.add_argument("--tune-max", type=int, default=18,
+                   help="cap on shuffled grid points (the reference's "
+                        "tuning loop takes the first 18, `:387`)")
     p.add_argument("--resume", action="store_true",
                    help="crash-safe mode: write a "
                         "<ckpt-dir>/fewshot_<mode>_last checkpoint every "
@@ -110,6 +121,10 @@ def main(argv=None):
                         "never saved)")
     args = p.parse_args(argv)
     common.warn_parallel_unsupported(args, 'fewshot')
+    if args.tune and args.resume:
+        print("--resume is ignored under --tune (grid points must not "
+              "share one _last checkpoint)")
+        args.resume = False
     dcfg, tc = common.configs_from_args(args)
     common.warn_grad_accum_ignored(args, "few-shot domain-prompting loops")
     if args.labeled_classified:
@@ -127,26 +142,12 @@ def main(argv=None):
     cfg = MIT_VARIANTS[args.variant](
         num_labels=num_labels, cls_tokens=(1, 1, 1, 1), dtype=args.dtype)
     cfg = common.apply_perf_preset(cfg, args)
-    model = SegFormer(cfg)
-    import jax.numpy as jnp
-
-    variables = jax.jit(model.init)(
-        jax.random.PRNGKey(args.seed),
-        jnp.zeros((1, dcfg.img_h, dcfg.img_w, 3)))
-    state = TrainState.create(variables, tc)
-    if args.pretrain_weight:
-        from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
-            restore_state,
-        )
-        state = restore_state(args.pretrain_weight, state)
-        print("Pretrained model loaded")
     logger = MetricLogger(args.metrics_csv)
-    rng = jax.random.PRNGKey(args.seed)
-    pyrng = random.Random(args.seed)
 
     if args.predict:
         import numpy as _np
 
+        state = _build_state(args, dcfg, tc, cfg)
         ev = []
         for images_u8, masks_u8 in eval_loaders["eval"]:
             imgs, masks = common.device_eval_batch(images_u8, masks_u8,
@@ -160,6 +161,64 @@ def main(argv=None):
     lab = category_loaders(dcfg, "labeled", args.seed)
     unlab = category_loaders(dcfg, "unlabeled", args.seed)
     print(f"{len(lab)} labeled domains, {len(unlab)} unlabeled domains")
+
+    if args.tune:
+        from semisupervisedobjectdetection_tpu.core.config import (
+            product_grid,
+        )
+
+        grid = product_grid(
+            [float(x) for x in args.tune_lrs.split(",")],
+            [float(x) for x in args.tune_wds.split(",")],
+            [float(x) for x in args.tune_gammas.split(",")],
+            shuffle=True, seed=args.seed)[:args.tune_max]
+        best, best_pt = float("inf"), None
+        for lr, wd, gamma in grid:
+            print(f"tuning: lr={lr} weight_decay={wd} scheduler={gamma}")
+            tci = tc.replace(lr=lr, weight_decay=wd, lr_decay=gamma,
+                             epochs=max(tc.epochs // 5, 1))
+            loss = train_run(args, dcfg, tci, cfg, logger, eval_loaders,
+                             lab, unlab, iters, save_model=False)
+            print(f"lr={lr} wd={wd} gamma={gamma}: best eval {loss:.4f}")
+            if loss < best:
+                best, best_pt = loss, (lr, wd, gamma)
+        print(f"best: lr={best_pt[0]} weight_decay={best_pt[1]} "
+              f"scheduler={best_pt[2]} loss={best:.4f}")
+        logger.close()
+        return
+
+    train_run(args, dcfg, tc, cfg, logger, eval_loaders, lab, unlab,
+              iters)
+    logger.close()
+    common.maybe_plot_curves(args)
+
+
+def _build_state(args, dcfg, tc, cfg):
+    import jax.numpy as jnp
+
+    model = SegFormer(cfg)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(args.seed),
+        jnp.zeros((1, dcfg.img_h, dcfg.img_w, 3)))
+    state = TrainState.create(variables, tc)
+    if args.pretrain_weight:
+        from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
+            restore_state,
+        )
+        state = restore_state(args.pretrain_weight, state)
+        print("Pretrained model loaded")
+    return state
+
+
+def train_run(args, dcfg, tc, cfg, logger, eval_loaders, lab, unlab,
+              iters, save_model=True) -> float:
+    """One full few-shot training run (`--mode ae` or `seg`); returns
+    the best eval loss (the tuning objective, ref `:387-396`).
+    `save_model=False` (tuning) skips all checkpoint writes like the
+    reference's `save_model=False`."""
+    state = _build_state(args, dcfg, tc, cfg)
+    rng = jax.random.PRNGKey(args.seed)
+    pyrng = random.Random(args.seed)
     rr_lab, rr_unlab = RoundRobin(lab), RoundRobin(unlab)
 
     # Best-eval checkpointing mirrors the reference's save_model gate
@@ -172,7 +231,7 @@ def main(argv=None):
                             prefix=f"fewshot_{args.mode}")
     best = float("inf")
     start_epoch = 0
-    resume = args.resume and args.checkpoint_dir
+    resume = save_model and args.resume and args.checkpoint_dir
     if resume:
         from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
             load_last,
@@ -245,7 +304,7 @@ def main(argv=None):
                    fps=fps)
         if eval_loss < best:
             best = eval_loss
-            if args.checkpoint_dir:
+            if save_model and args.checkpoint_dir:
                 ckpt.maybe_save(state, epoch, train_loss, eval_loss, fps)
         if resume:
             from semisupervisedobjectdetection_tpu.checkpoint.orbax_io \
@@ -253,8 +312,7 @@ def main(argv=None):
 
             save_last(args.checkpoint_dir, f"fewshot_{args.mode}", state,
                       epoch, best)
-    logger.close()
-    common.maybe_plot_curves(args)
+    return best
 
 
 if __name__ == "__main__":

@@ -69,6 +69,45 @@ def test_plot_metrics_missing_csv_is_soft(tmp_path, capsys):
     assert "skipping" in capsys.readouterr().out
 
 
+def test_autoencoder_cli_tune_grid(tmp_path, capsys):
+    # `--tune` closes the C10 gap: the reference AE script's
+    # Hyperparameter_Tuning grid (segFormer_autoencoder_main.py:133-170,
+    # lr x weight_decay x scheduler on an 80/20 labeled split, shuffled,
+    # save_model=False).
+    from semisupervisedobjectdetection_tpu.cli import autoencoder
+
+    ckdir = str(tmp_path / "ck")
+    autoencoder.main([
+        "--synthetic", "--synthetic-n", "6", "--variant", "b0",
+        "--img-size", "64", "--batch-size", "2", "--dtype", "float32",
+        "--epochs", "1", "--checkpoint-dir", ckdir,
+        "--tune", "--tune-lrs", "1e-3,1e-5", "--tune-wds", "5e-5",
+        "--tune-gammas", "0.97"])
+    out = capsys.readouterr().out
+    assert out.count("best train+eval") == 2  # both grid points ran
+    assert "best: lr=" in out
+    # tuning never writes checkpoints (reference save_model=False)
+    assert not os.path.exists(ckdir) or not os.listdir(ckdir)
+
+
+def test_fewshot_cli_tune_grid(tmp_path, capsys):
+    # Reference grid `segFormer_fewshot_learning.py:362-363` (consumed by
+    # the tuning loop at `:387-396`): lr sweep over the few-shot AE loop.
+    from semisupervisedobjectdetection_tpu.cli import fewshot
+
+    ckdir = str(tmp_path / "ck")
+    fewshot.main([
+        "--synthetic", "--synthetic-n", "6", "--variant", "b0",
+        "--img-size", "64", "--batch-size", "2", "--dtype", "float32",
+        "--epochs", "1", "--mode", "ae", "--iterations", "2",
+        "--checkpoint-dir", ckdir,
+        "--tune", "--tune-lrs", "1e-3,1e-5"])
+    out = capsys.readouterr().out
+    assert out.count("best eval") == 2
+    assert "best: lr=" in out
+    assert not os.path.exists(ckdir) or not os.listdir(ckdir)
+
+
 def test_supervised_cli_plot_curves_smoke(tmp_path):
     from semisupervisedobjectdetection_tpu.cli import supervised
 
