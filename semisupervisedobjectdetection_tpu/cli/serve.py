@@ -30,10 +30,19 @@ Endpoints:
   GET  /healthz           -> {"status": "ok", platform, variant, int8, ...}
   GET  /stats             -> request/batch counters incl. mean batch fill
   POST /predict           -> body: PNG/JPEG image (any size; resized to
-                             the model's input, mask resized back).
-                             Query: ?format=png (default; binarized L mask)
-                             or ?format=npy (float32 probability map),
-                             &threshold=0.5 (png binarize level).
+                             the model's input, mask resized back), OR
+                             Content-Type: application/octet-stream with
+                             one raw uint8 HWC image at exactly
+                             img_size x img_size x 3 — the codec-free
+                             fast path for throughput clients (host PNG
+                             decode/encode is the measured bottleneck on
+                             weak serving hosts).
+                             Query: ?format=png (default for image
+                             bodies; binarized L mask), ?format=npy
+                             (float32 probability map), or ?format=raw
+                             (default for octet-stream bodies; uint8
+                             binarized mask bytes, img_size^2),
+                             &threshold=0.5 (binarize level).
 """
 
 from __future__ import annotations
@@ -214,16 +223,38 @@ class InferenceServer:
                     if "=" in kv:
                         k, _, v = kv.partition("=")
                         params[k] = v
+                raw_input = self.headers.get(
+                    "Content-Type", "").split(";")[0].strip() \
+                    == "application/octet-stream"
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     raw = self.rfile.read(length)
-                    from PIL import Image
+                    if raw_input:
+                        # Raw-tensor fast path: body is one uint8 HWC
+                        # image at exactly the model's input size —
+                        # bypasses the host PNG/JPEG codec + resize
+                        # entirely (the measured bottleneck on weak
+                        # serving hosts; device predict is ~59ms/batch-16
+                        # while host PNG decode alone starves the batch).
+                        s = server.img_size
+                        expect = s * s * 3
+                        if length != expect:
+                            raise ValueError(
+                                f"raw payload must be uint8 HWC "
+                                f"({s}x{s}x3 = {expect} bytes), "
+                                f"got {length}")
+                        arr = np.frombuffer(raw, np.uint8).reshape(
+                            s, s, 3).astype(np.float32) / 255.0
+                        orig_w = orig_h = s
+                    else:
+                        from PIL import Image
 
-                    img = Image.open(io.BytesIO(raw)).convert("RGB")
-                    orig_w, orig_h = img.size
-                    resized = img.resize((server.img_size, server.img_size),
-                                         Image.BILINEAR)
-                    arr = np.asarray(resized, np.float32) / 255.0
+                        img = Image.open(io.BytesIO(raw)).convert("RGB")
+                        orig_w, orig_h = img.size
+                        resized = img.resize(
+                            (server.img_size, server.img_size),
+                            Image.BILINEAR)
+                        arr = np.asarray(resized, np.float32) / 255.0
                 except Exception as e:
                     self._json(400, {"error": f"bad image: {e}"})
                     return
@@ -232,8 +263,16 @@ class InferenceServer:
                 except Exception as e:
                     self._json(500, {"error": str(e)})
                     return
-                fmt = params.get("format", "png")
-                if fmt == "npy":
+                # raw input defaults to raw output (no codec either way)
+                fmt = params.get("format", "raw" if raw_input else "png")
+                if fmt == "raw":
+                    # binarized uint8 mask (img_size^2 bytes, 0/255),
+                    # zero encode cost
+                    thr = float(params.get("threshold", 0.5))
+                    body = ((np.asarray(mask) >= thr)
+                            .astype(np.uint8) * 255).tobytes()
+                    ctype = "application/octet-stream"
+                elif fmt == "npy":
                     buf = io.BytesIO()
                     np.save(buf, np.asarray(mask, np.float32))
                     body = buf.getvalue()

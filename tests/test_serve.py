@@ -119,6 +119,52 @@ def test_batched_result_matches_direct_predict(server):
     np.testing.assert_allclose(served, direct, atol=2e-5)
 
 
+def _post_raw(url: str, body: bytes):
+    req = urllib.request.Request(
+        url, data=body, method="POST",
+        headers={"Content-Type": "application/octet-stream"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+def test_predict_raw_tensor_roundtrip(server):
+    """The codec-free fast path: uint8 HWC bytes in, uint8 mask bytes out
+    (no PNG encode/decode on either side), numerically identical to the
+    image-body path on the same pixels."""
+    srv, base = server
+    rng = np.random.default_rng(7)
+    img_u8 = rng.integers(0, 255, (SIZE, SIZE, 3), dtype=np.uint8)
+    status, ctype, body = _post_raw(base + "/predict", img_u8.tobytes())
+    assert status == 200 and ctype == "application/octet-stream"
+    mask = np.frombuffer(body, np.uint8)
+    assert mask.shape == (SIZE * SIZE,)
+    assert set(np.unique(mask)) <= {0, 255}
+
+    # same pixels through the raw path with format=npy == direct predict
+    _, _, body_npy = _post_raw(base + "/predict?format=npy",
+                               img_u8.tobytes())
+    probs = np.load(io.BytesIO(body_npy))
+    direct = np.asarray(srv.model.predict(np.broadcast_to(
+        img_u8.astype(np.float32) / 255.0, (4, SIZE, SIZE, 3)).copy()))[0]
+    np.testing.assert_allclose(probs, direct, atol=2e-5)
+    # and the raw binarized bytes agree with thresholding those probs
+    np.testing.assert_array_equal(
+        mask.reshape(SIZE, SIZE), (probs >= 0.5).astype(np.uint8) * 255)
+
+
+def test_predict_raw_tensor_wrong_length_is_400(server):
+    _, base = server
+    req = urllib.request.Request(
+        base + "/predict", data=b"\x00" * 100, method="POST",
+        headers={"Content-Type": "application/octet-stream"})
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        raised = None
+    except urllib.error.HTTPError as e:
+        raised = e.code
+    assert raised == 400
+
+
 def test_bad_image_400_and_unknown_route_404(server):
     _, base = server
     req = urllib.request.Request(base + "/predict", data=b"not an image",
