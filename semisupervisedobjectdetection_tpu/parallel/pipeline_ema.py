@@ -145,10 +145,19 @@ class EmaPipelinedTrainer:
                  confident_threshold: float = pseudo.CONFIDENT_THRESHOLD,
                  trainable_mask=None):
         if cfg.use_cls:
+            # The supervised pipeline trainer DOES wire the carried-CLS
+            # head edge (parallel/pipeline_train.py), so domain-prompting
+            # workloads pipeline there. HERE the edge would have to thread
+            # through the fused head-device program (teacher-head/pseudo/
+            # denoise/student-head-grads) for BOTH models, and no reference
+            # workload combines EMA semi-training with CLS domain prompts
+            # (fewshot uses its own loops, segFormer_fewshot_learning.py) —
+            # a cost with no user until such a workload exists.
             raise NotImplementedError(
-                "CLS-token configs: the carried-CLS edge into the decode "
-                "head is not wired through the pipeline backward; use the "
-                "fused single-device EMA step")
+                "CLS-token configs: use --parallel pp on the supervised "
+                "CLI (pipeline_train.py wires the CLS head edge) or the "
+                "fused single-device EMA step; no reference workload "
+                "combines EMA semi-training with domain-CLS prompts")
         if tc.reference_quirks:
             # In EMA mode the reference QUIRK is train-mode forwards
             # (`segFormer_semi_teacherstudent_main.py:77-78`, the inverse

@@ -38,9 +38,13 @@ Reference: single-GPU, no parallelism of any kind (SURVEY.md §5); this
 is a TPU scaling addition. Forward passes run in eval mode — which IS
 the reference's supervised-training quirk (`SegFormerModel.py:104-105`),
 so no dropout rng or BN-stats threading crosses stage boundaries.
-CLS-token configs are not supported (the carried-CLS edge from the last
-stage into the decode head would add a second backward path; use the
-data-parallel step for domain-prompting workloads).
+CLS-token (domain-prompting) configs ARE supported: the CLS never
+crosses a stage boundary (each stage prepends its own cls_token param,
+ref `modeling_segformer.py:455-465`), so the only extra pipeline edge is
+the final stage's carried CLS into the decode head's sigmoid+cls_proj
+injection (`:848-850,711-724`) — its cotangent returns on the same hop,
+and earlier stages take a zero CLS-output cotangent (their cls params
+still get real gradients through the token stream).
 """
 
 from __future__ import annotations
@@ -96,6 +100,22 @@ def _bwd_jit(cfg: MiTConfig, i: int):
 
 @functools.lru_cache(maxsize=None)
 def _head_grad_jit(cfg: MiTConfig, loss_type: str, has_stats: bool):
+    if cfg.use_cls:
+        # CLS-injection head: the final stage's raw carried CLS enters
+        # through sigmoid (ref `modeling_segformer.py:848-850`) and its
+        # cotangent (argnums 2) flows back into the last stage's backward.
+        def head_loss_cls(params, feats, cls_raw, stats, masks):
+            v = {"params": params}
+            if has_stats:
+                v["batch_stats"] = stats
+            cls_final = jax.nn.sigmoid(cls_raw.astype(jnp.float32))
+            logits = DecodeHead(cfg).apply(v, list(feats), cls_final)
+            pred = predict_masks(logits, masks.shape[1:3])
+            return losses.segmentation_loss(pred, masks, loss_type)
+
+        return jax.jit(jax.value_and_grad(head_loss_cls,
+                                          argnums=(0, 1, 2)))
+
     def head_loss(params, feats, stats, masks):
         v = {"params": params}
         if has_stats:
@@ -119,19 +139,30 @@ def _nontrivial(mask):
 
 
 def _drain_backward(stage_bwd, stage_devices, stage_params, xs, g_feats,
-                    stage_gsums):
+                    stage_gsums, g_cls=None):
     """One microbatch's backward wavefront: walk the stages in reverse,
     summing each stage's head-side feature cotangent with the downstream
     stage's input cotangent, and accumulate parameter gradients into
     `stage_gsums` (mutated in place; None entries start fresh). Shared by
     the supervised (`PipelinedTrainer`) and EMA (`pipeline_ema`) trainers
-    so the cotangent summing / device-hop order lives in ONE place."""
+    so the cotangent summing / device-hop order lives in ONE place.
+
+    `g_cls`: per-stage cotangents for the stages' carried-CLS outputs
+    (None when the config carries no CLS). The CLS never crosses a stage
+    boundary — each stage prepends its OWN cls_token param and only the
+    final stage's CLS feeds the decode head (ref
+    `modeling_segformer.py:455-465,848-850`) — so only the last entry is
+    nonzero; earlier stages get a zeros cotangent for their unused CLS
+    output (their cls params still receive real gradients through the
+    token-stream path)."""
     gx_next = None
     for i in reversed(range(len(stage_params))):
         gy = jax.device_put(g_feats[i], stage_devices[i])
         if gx_next is not None:
             gy = gy + jax.device_put(gx_next, stage_devices[i])
-        gp, gx_next = stage_bwd[i](stage_params[i], xs[i], gy, None)
+        gc = (jax.device_put(g_cls[i], stage_devices[i])
+              if g_cls is not None and g_cls[i] is not None else None)
+        gp, gx_next = stage_bwd[i](stage_params[i], xs[i], gy, gc)
         stage_gsums[i] = (gp if stage_gsums[i] is None else
                           jax.tree.map(jnp.add, stage_gsums[i], gp))
 
@@ -157,11 +188,6 @@ class PipelinedTrainer:
     def __init__(self, cfg: MiTConfig, variables: dict, tc: TrainConfig,
                  devices: Optional[Sequence[jax.Device]] = None,
                  loss_type: str = "dice", trainable_mask=None):
-        if cfg.use_cls:
-            raise NotImplementedError(
-                "CLS-token configs: the carried-CLS edge into the decode "
-                "head is not wired through the pipeline backward; use the "
-                "data-parallel step")
         if not tc.reference_quirks:
             # The stage forwards below run deterministic/eval-mode — which
             # IS the reference quirk. --no-quirks promises dropout/droppath
@@ -239,31 +265,45 @@ class PipelinedTrainer:
 
         # Fill: all microbatch forwards first (async dispatch overlaps
         # microbatch k's stage j with k+1's stage j-1), keeping only the
-        # per-stage inputs as backward recompute anchors.
+        # per-stage inputs as backward recompute anchors (plus, for CLS
+        # configs, the per-stage carried-CLS outputs — needed to shape the
+        # zero cotangents and to feed the head).
+        use_cls = self.cfg.use_cls
         fwd = []
         for s in range(micro):
-            xs, feats = [], []
+            xs, feats, clss = [], [], []
             x = jax.device_put(images[s * mb:(s + 1) * mb],
                                stage_devices[0])
             for i in range(n):
                 if i > 0:
                     x = jax.device_put(x, stage_devices[i])
                 xs.append(x)
-                x, _ = self._stage_fwd[i](stage_params[i], x)
+                x, cls = self._stage_fwd[i](stage_params[i], x)
+                clss.append(cls)
                 feats.append(jax.device_put(x, head_device))
-            fwd.append((xs, feats))
+            fwd.append((xs, feats, clss))
 
         for s in range(micro):
-            xs, feats = fwd[s]
+            xs, feats, clss = fwd[s]
             m = jax.device_put(masks[s * mb:(s + 1) * mb], head_device)
-            loss, (g_head, g_feats) = self._head_grad(
-                head_params, tuple(feats), head_stats, m)
+            if use_cls:
+                loss, (g_head, g_feats, g_cls_last) = self._head_grad(
+                    head_params, tuple(feats),
+                    jax.device_put(clss[-1], head_device), head_stats, m)
+                # only the FINAL stage's CLS feeds the head; earlier
+                # stages' CLS outputs are unused -> zero cotangent
+                g_cls = [jnp.zeros_like(c) if c is not None else None
+                         for c in clss[:-1]] + [g_cls_last]
+            else:
+                loss, (g_head, g_feats) = self._head_grad(
+                    head_params, tuple(feats), head_stats, m)
+                g_cls = None
             loss_sum = loss if loss_sum is None else loss_sum + loss
             head_gsum = (g_head if head_gsum is None else
                          jax.tree.map(jnp.add, head_gsum, g_head))
 
             _drain_backward(self._stage_bwd, stage_devices, stage_params,
-                            xs, g_feats, stage_gsums)
+                            xs, g_feats, stage_gsums, g_cls=g_cls)
         return stage_gsums, head_gsum, loss_sum
 
     def _apply(self, stage_gsums: list, head_gsum: dict, loss_sum: Array,

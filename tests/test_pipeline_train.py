@@ -111,11 +111,62 @@ def test_pipeline_memory_placement_and_training_progress():
     pt.scheduler_step()  # smoke: per-stage lr decay
 
 
-def test_pipeline_rejects_cls_configs():
+@needs8
+def test_pipeline_cls_config_matches_accum_train_step():
+    """Domain-prompting (carried-CLS) configs pipeline too: the final
+    stage's CLS feeds the decode head's sigmoid+cls_proj injection and
+    its cotangent returns through the last stage's backward; the update
+    must equal the single-device train_step(accum=micro) one — including
+    the cls_token and cls_proj parameter gradients."""
     cfg = TINY.replace(cls_tokens=(1, 1, 1, 1))
-    imgs, masks, variables = _setup(b=1)
-    with pytest.raises(NotImplementedError, match="CLS"):
-        PipelinedTrainer(cfg, variables, TrainConfig())
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.uniform(0, 1, (4, 64, 64, 3)), jnp.float32)
+    masks = jnp.asarray(rng.uniform(0, 1, (4, 64, 64)) > 0.5, jnp.float32)
+    variables = jax.jit(SegFormer(cfg).init)(jax.random.PRNGKey(0),
+                                             imgs[:1])
+
+    def loss_fn(params, im, mk):
+        pred, _, _ = forward_masks(
+            cfg, {"params": params,
+                  "batch_stats": variables["batch_stats"]},
+            im, train_mode=False)
+        return losses.segmentation_loss(pred, mk, "dice")
+
+    g0 = jax.jit(jax.grad(loss_fn))(variables["params"], imgs[:2],
+                                    masks[:2])
+    g1 = jax.jit(jax.grad(loss_fn))(variables["params"], imgs[2:],
+                                    masks[2:])
+    want_g = jax.tree.map(lambda a, b: (a + b) / 2.0, g0, g1)
+    # the CLS path must actually be live: cls_proj and at least one
+    # cls_token carry real gradient
+    cls_g = [np.abs(np.asarray(v)).max() for k, v in
+             jax.tree_util.tree_flatten_with_path(want_g)[0]
+             if "cls" in jax.tree_util.keystr(k)]
+    assert cls_g and max(cls_g) > 1e-8, "CLS path has no gradient signal"
+
+    oracle = TrainState.create(jax.tree.map(jnp.copy, variables),
+                               TrainConfig())
+    oracle, o_loss, _ = train_step(oracle, imgs, masks,
+                                   jax.random.PRNGKey(0), cfg, accum=2)
+
+    pt = PipelinedTrainer(cfg, variables, TrainConfig())
+    loss = pt.step(imgs, masks, micro=2)
+    np.testing.assert_allclose(loss, float(o_loss), rtol=1e-5, atol=1e-6)
+
+    merged = pt.merged_params()
+    flat_o = jax.tree_util.tree_flatten_with_path(oracle.params)[0]
+    flat_m = jax.tree_util.tree_flatten_with_path(merged)[0]
+    assert ([jax.tree_util.keystr(k) for k, _ in flat_o]
+            == [jax.tree_util.keystr(k) for k, _ in flat_m])
+    checked = 0
+    for (kp, a), (_, b), g in zip(flat_o, flat_m,
+                                  jax.tree.leaves(want_g)):
+        sel = np.abs(np.asarray(g)) > 1e-6
+        checked += int(sel.sum())
+        np.testing.assert_allclose(
+            np.asarray(a)[sel], np.asarray(b)[sel], rtol=2e-5, atol=2e-6,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(kp)}")
+    assert checked > 1000
 
 
 def test_pipeline_rejects_no_quirks():
