@@ -15,92 +15,14 @@ dimensions (stage-3: 1024 tokens, 320 ch, 5 heads, sr 2; stage-4 512 ch
 feeding the hardcoded cls_dim=512 `cls_proj`; decoder_hidden 768).
 """
 
-import functools
-import sys
-import types
-
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
 
 from semisupervisedobjectdetection_tpu.core.config import MiTConfig
-from semisupervisedobjectdetection_tpu.checkpoint.hf_import import (
-    import_hf_model,
-)
-from semisupervisedobjectdetection_tpu.models.segformer import SegFormer
 
-REF_ROOT = "/root/reference"
-
-
-@functools.lru_cache(maxsize=1)
-def _load_reference_segformer():
-    """Import the reference's modified model classes, or skip.
-
-    The vendored transformers snapshot pins tokenizers<0.14; the installed
-    one is newer, so `dependency_versions_check` (a pure version assert) is
-    replaced with a no-op stub before import. Only the reference's own
-    model code runs."""
-    pytest.importorskip("torch")
-    if REF_ROOT not in sys.path:
-        sys.path.insert(0, REF_ROOT)
-    stub = types.ModuleType("segformer_source.dependency_versions_check")
-    stub.dep_version_check = lambda *a, **k: None
-    sys.modules.setdefault("segformer_source.dependency_versions_check",
-                           stub)
-    try:
-        from segformer_source.models.segformer.configuration_segformer \
-            import SegformerConfig
-        from segformer_source.models.segformer.modeling_segformer import (
-            SegformerForSemanticSegmentation,
-        )
-    except Exception as e:  # pragma: no cover - environment-dependent
-        pytest.skip(f"reference vendored model unimportable: {e}")
-    return SegformerConfig, SegformerForSemanticSegmentation
-
-
-def _build_pair(cfg: MiTConfig, prompt=None, per_layer=False, cls=False,
-                seed=0):
-    """(torch reference model, our flax variables) with identical weights,
-    prompt tokens, and CLS tokens."""
-    import torch
-
-    RefConfig, RefModel = _load_reference_segformer()
-    hf_cfg = RefConfig(
-        num_channels=3, num_encoder_blocks=4,
-        depths=list(cfg.depths), sr_ratios=list(cfg.sr_ratios),
-        hidden_sizes=list(cfg.hidden_sizes),
-        num_attention_heads=list(cfg.num_heads),
-        patch_sizes=list(cfg.patch_sizes), strides=list(cfg.strides),
-        decoder_hidden_size=cfg.decoder_hidden, num_labels=cfg.num_labels,
-        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
-        classifier_dropout_prob=0.0, drop_path_rate=0.0,
-        reshape_last_stage=True)
-    torch.manual_seed(seed)
-    ref = RefModel(hf_cfg).eval()
-
-    flax_model = SegFormer(cfg)
-    variables = jax.jit(flax_model.init)(
-        jax.random.PRNGKey(seed), jnp.zeros((1, 64, 64, 3)))
-    params, batch_stats = import_hf_model(
-        ref, cfg, variables["params"], variables["batch_stats"])
-
-    # Prompt/CLS tokens live OUTSIDE the torch state_dict (the reference
-    # writes raw tensors into encoder-owned python lists,
-    # `models/SegFormerModel.py:69-101`); copy our fresh-initialized flax
-    # token params into those lists so both sides run identical values.
-    enc_list = ref.segformer.encoder
-    for i in range(cfg.num_stages):
-        if prompt and prompt[i] > 0:
-            tok = np.asarray(params["encoder"][f"prompt_tokens_{i}"],
-                             np.float32)
-            enc_list.prompt_tokens[i] = torch.tensor(tok)
-        if cls:
-            tok = np.asarray(params["encoder"][f"cls_token_{i}"],
-                             np.float32)
-            enc_list.cls_token[i] = torch.tensor(tok)
-    return ref, flax_model, {"params": params, "batch_stats": batch_stats}
+from _ref_oracle import build_pair as _build_pair  # noqa: E402
 
 
 def _diff_logits(ref, flax_model, variables, x_nchw):
