@@ -42,14 +42,17 @@ ARGS = ["--synthetic", "--synthetic-n", "8", "--img-size", "64",
         "--batch-size", "8", "--epochs", "1", "--dtype", "float32"]
 
 
-def _run(tmp, extra):
-    from semisupervisedobjectdetection_tpu.cli import common
-    from semisupervisedobjectdetection_tpu.cli import supervised as cli_sup
+def _run(tmp, extra, module="supervised"):
+    import importlib
 
-    csv = os.path.join(tmp, f"m{len(extra)}.csv")
+    from semisupervisedobjectdetection_tpu.cli import common
+
+    cli = importlib.import_module(
+        f"semisupervisedobjectdetection_tpu.cli.{module}")
+    csv = os.path.join(tmp, f"m{module}{len(extra)}.csv")
     try:
-        cli_sup.main(ARGS + ["--checkpoint-dir", os.path.join(tmp, "ck"),
-                             "--metrics-csv", csv] + extra)
+        cli.main(ARGS + ["--checkpoint-dir", os.path.join(tmp, "ck"),
+                         "--metrics-csv", csv] + extra)
     finally:
         common.teardown_parallel()
     lines = open(csv).read().splitlines()
@@ -72,6 +75,18 @@ def main() -> None:
                     - float(row_1["train_loss"]))
         assert delta < 5e-2, (row_tp, row_1)
         print(f"tp-collective-ok delta={delta:.2e}")
+
+        # The FLAGSHIP EMA mean-teacher CLI composed with dp x tp +
+        # collective MixFFN (the dryrun proves step-level numerics;
+        # this proves the real CLI epoch loop wires it end-to-end).
+        row_ema_tp = _run(tmp, ["--ema-mode", "--parallel", "tp",
+                                "--tp", "2", "--ffn-impl", "collective"],
+                          module="teacher_student")
+        row_ema_1 = _run(tmp, ["--ema-mode"], module="teacher_student")
+        delta_ema = abs(float(row_ema_tp["train_loss"])
+                        - float(row_ema_1["train_loss"]))
+        assert delta_ema < 5e-2, (row_ema_tp, row_ema_1)
+        print(f"ema-tp-collective-ok delta={delta_ema:.2e}")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -70,6 +70,8 @@ def test_supervised_parallel_tp_collective(tmp_path):
                           capture_output=True, text=True, timeout=1800)
     assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
     assert "tp-collective-ok" in proc.stdout
+    # the flagship EMA CLI composed with dp x tp + collective MixFFN
+    assert "ema-tp-collective-ok" in proc.stdout
 
 
 @needs8
