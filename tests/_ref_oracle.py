@@ -127,6 +127,18 @@ def ref_dice_loss(pred, gt, smooth: float = 1.0):
     return 1.0 - torch.mean(score)
 
 
+def ref_mse_loss(pred, gt):
+    """`SegmentationLoss(1, loss_type='mse')` -> `mse()` with the
+    reference's (B, C) divisor (`models/Loss.py:44-54`); call sites pass
+    (B, 3, H, W) tensors so the divisor is B*3."""
+    import torch
+
+    n = gt.shape[0]
+    err = torch.sum((gt.reshape(n, -1) - pred.reshape(n, -1)) ** 2, dim=1)
+    err = err / (gt.shape[0] * gt.shape[1])
+    return torch.mean(err)
+
+
 def ref_dice_argmax_loss(pred, gt):
     """`loss_type='dice_argmax'`: binarize pred at 0.5 then dice
     (`models/Loss.py:84-86`) — the reference eval metric."""
@@ -220,6 +232,35 @@ class RefTrainer:
                                mode="bilinear", align_corners=False)
             pred = torch.sigmoid(up).squeeze(1)
             return ref_dice_argmax_loss(pred, mask), pred
+
+    def train_one_epoch_without_mask(self, img):
+        """AE reconstruction step (`:198-219`): TRAIN-mode forward (no
+        eval() inversion here — the one workload the reference trains in
+        true train mode), upsample, sigmoid, reference-MSE vs the input."""
+        import torch
+        import torch.nn.functional as F
+
+        self.model.train()
+        out, _ = self.model(pixel_values=img)
+        up = F.interpolate(out.logits, size=img.shape[2:],
+                           mode="bilinear", align_corners=False)
+        up = torch.sigmoid(up)
+        loss = ref_mse_loss(img, up)
+        self.train_from_loss(loss)
+        return loss, up
+
+    def eval_one_epoch_without_mask(self, img):
+        """AE reconstruction eval (`:177-196`)."""
+        import torch
+        import torch.nn.functional as F
+
+        self.model.eval()
+        with torch.no_grad():
+            out, _ = self.model(pixel_values=img)
+            up = F.interpolate(out.logits, size=img.shape[2:],
+                               mode="bilinear", align_corners=False)
+            up = torch.sigmoid(up)
+            return ref_mse_loss(img, up), up
 
     def train_from_loss(self, loss):
         import torch

@@ -206,6 +206,55 @@ def test_teacher_student_trajectory_matches_reference_loop():
             f"{name} binarized masks agree only {agree:.4%}")
 
 
+def test_autoencoder_trajectory_matches_reference_loop():
+    """The AE pretrain loop (`segFormer_autoencoder_main.py:30-131` via
+    `train_one_epoch_without_mask`, `SegFormerModel.py:198-219`) — the
+    ONE workload the reference trains in true TRAIN mode (no eval()
+    inversion), so BN running stats update during training on both
+    sides. num_labels=3, loss = reference-MSE (B*3 divisor) between the
+    sigmoid recon and the input."""
+    import torch
+
+    from semisupervisedobjectdetection_tpu.train.autoencoder import (
+        ae_eval_step,
+        ae_train_step,
+    )
+
+    cfg = MiTConfig(num_labels=3, **{k: v for k, v in TINY.items()
+                                     if k != "num_labels"})
+    ref, fm, variables = build_pair(cfg, seed=0)
+    trainer = RefTrainer(ref, lr=LR, weight_decay=WD, gamma=GAMMA)
+    tc = TrainConfig(lr=LR, weight_decay=WD, lr_decay=GAMMA)
+    state = TrainState.create(variables, tc)
+
+    batches = [img for img, _ in _batches(3, 2, 64, seed=7)]
+    ev_img = _batches(1, 2, 64, seed=97)[0][0]
+
+    step = 0
+    for epoch in range(2):
+        for img in batches:
+            ref_loss, _ = trainer.train_one_epoch_without_mask(
+                torch.tensor(img))
+            state, loss, _ = ae_train_step(state, _nhwc(img),
+                                           jax.random.PRNGKey(0), cfg)
+            step += 1
+            d = abs(ref_loss.item() - float(loss))
+            assert d < 1e-3, (
+                f"AE step {step}: loss drift {d:.2e} "
+                f"(ref {ref_loss.item():.6f} vs ours {float(loss):.6f})")
+        trainer.scheduler_step()
+        state = state.scheduler_step()
+
+    ref_eval, ref_recon = trainer.eval_one_epoch_without_mask(
+        torch.tensor(ev_img))
+    eval_loss, recon = ae_eval_step(state, _nhwc(ev_img), cfg)
+    assert abs(ref_eval.item() - float(eval_loss)) < 1e-3
+    # recon maps are continuous: compare directly (NCHW <-> NHWC)
+    np.testing.assert_allclose(
+        np.asarray(recon).transpose(0, 3, 1, 2), ref_recon.numpy(),
+        atol=5e-3)
+
+
 def test_supervised_trajectory_b5_dims_slice():
     """3 supervised steps at REAL B5 widths/heads/sr and 512^2 input in a
     FRESH interpreter (cache-serializer hazard + torch B5 fwd/bwd on this
