@@ -82,6 +82,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "crashing the run — production guard for corrupt "
                         "files; forces the Python decode path (the native "
                         "C++ loader fails fast)")
+    p.add_argument("--cache-tiles", type=float, default=0.0, metavar="MB",
+                   help="LRU-cache decoded tiles in host RAM up to this "
+                        "many megabytes (~1 MB per 512² labeled tile): "
+                        "epochs after the first skip PNG decode + resize "
+                        "entirely. 0 (default) re-decodes every epoch like "
+                        "the reference; forces the Python decode path")
     p.add_argument("--perf", action="store_true",
                    help="TPU throughput preset: tanh-approx GELU + scan "
                         "unroll 4 — the bench.py EMA-mode config (exact-"
@@ -279,6 +285,8 @@ def configs_from_args(args) -> Tuple[DataConfig, TrainConfig]:
         dcfg = dcfg.replace(reference_eval_aug=True)
     if getattr(args, "skip_bad_tiles", False):
         dcfg = dcfg.replace(bad_tile_policy="substitute")
+    if getattr(args, "cache_tiles", 0.0) > 0:
+        dcfg = dcfg.replace(cache_mb=args.cache_tiles)
     tc = TrainConfig()
     if args.epochs:
         tc = tc.replace(epochs=args.epochs)
@@ -414,15 +422,17 @@ def make_loaders(dcfg: DataConfig, seed: int = 0,
     out = {}
     for flag in flags:
         if flag == "train":
-            ds = TileDataset(dcfg.dataset, dcfg.maskdir, canvas=dcfg.canvas)
+            ds = TileDataset(dcfg.dataset, dcfg.maskdir, canvas=dcfg.canvas,
+                             cache_mb=dcfg.cache_mb)
         elif flag == "eval":
-            ds = TileDataset(dcfg.evalset, dcfg.maskdir, canvas=dcfg.canvas)
+            ds = TileDataset(dcfg.evalset, dcfg.maskdir, canvas=dcfg.canvas,
+                             cache_mb=dcfg.cache_mb)
         elif flag == "unlabeled":
             ds = TileDataset(dcfg.unlabeledset, None, canvas=dcfg.canvas,
-                             has_mask=False)
+                             has_mask=False, cache_mb=dcfg.cache_mb)
         elif flag == "pseudo":
             ds = TileDataset(dcfg.pseudoset, None, canvas=dcfg.canvas,
-                             has_mask=False)
+                             has_mask=False, cache_mb=dcfg.cache_mb)
         else:
             raise ValueError(flag)
         # drop_last matches the reference (`config.py:42`) but would yield
@@ -437,12 +447,14 @@ def _make_loader(ds, bs, dcfg, seed):
     """Prefer the native (C++ threaded) decode path when built; fall back
     to the PIL loader. Multi-host sharding only on the Python loader for
     now (single-host pods use the native path). `--skip-bad-tiles`
-    (bad_tile_policy='substitute') also routes through the Python loader —
-    the native pool fails fast on a corrupt file."""
+    (bad_tile_policy='substitute') and `--cache-tiles`
+    (cache_mb>0) also route through the Python loader — the native pool
+    fails fast on corrupt files and decodes outside `__getitem__` (after
+    the first epoch a RAM cache beats its threaded re-decode)."""
     from semisupervisedobjectdetection_tpu.data import native
 
     if (jax.process_count() == 1 and native.available()
-            and dcfg.bad_tile_policy == "raise"):
+            and dcfg.bad_tile_policy == "raise" and dcfg.cache_mb <= 0):
         return native.NativeBatchLoader(
             ds, bs, shuffle=dcfg.shuffle, drop_last=dcfg.drop_last,
             seed=seed)

@@ -187,6 +187,12 @@ class DataConfig:
     # "substitute" (CLI --skip-bad-tiles: warn once and batch a readable
     # tile in its place — batch shapes stay static for the compiled steps).
     bad_tile_policy: str = "raise"
+    # >0 (CLI --cache-tiles MB): LRU-cache decoded canvas tiles in host RAM
+    # up to this budget, so epochs after the first skip PNG decode entirely
+    # (the reference re-decodes every epoch; decode dominates epoch wall
+    # time on weak hosts once the compiled step is fast). ~1 MB per 512²
+    # labeled tile.
+    cache_mb: float = 0.0
 
     def replace(self, **kw) -> "DataConfig":
         return dataclasses.replace(self, **kw)

@@ -30,9 +30,11 @@ class ClassifiedTileDataset(TileDataset):
     """One domain-category directory of tiles."""
 
     def __init__(self, root: str, category: str,
-                 mask_dir: Optional[str] = None, canvas: int = 512):
+                 mask_dir: Optional[str] = None, canvas: int = 512,
+                 cache_mb: float = 0.0):
         super().__init__(os.path.join(root, category), mask_dir,
-                         canvas=canvas, has_mask=mask_dir is not None)
+                         canvas=canvas, has_mask=mask_dir is not None,
+                         cache_mb=cache_mb)
         self.category = category
 
 
@@ -44,7 +46,8 @@ def category_loaders(cfg: DataConfig, flag: str = "labeled",
     mask_dir = cfg.maskdir if flag == "labeled" else None
     loaders = []
     for i, cat in enumerate(get_categories(cfg, flag)):
-        ds = ClassifiedTileDataset(root, cat, mask_dir, canvas=cfg.canvas)
+        ds = ClassifiedTileDataset(root, cat, mask_dir, canvas=cfg.canvas,
+                                   cache_mb=cfg.cache_mb)
         loaders.append(TileLoader(ds, cfg.few_shot_batch_size,
                                   shuffle=cfg.shuffle,
                                   drop_last=cfg.drop_last,

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import glob
 import os
+import threading
+from collections import OrderedDict
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -30,6 +32,55 @@ from PIL import Image
 
 BING_WATERMARK_PX = 23
 BOOK_WATERMARK_PX = 75
+
+
+class _DecodedCache:
+    """Byte-budgeted LRU of decoded items, keyed by file path.
+
+    The reference re-decodes every tile every epoch
+    (`archaeological_georgia_biostyle_dataloader.py:59-69` runs inside
+    `__getitem__`); on the 1-vCPU TPU-VM hosts this harness runs on, PNG
+    decode dominates epoch wall time once the compiled step is fast.
+    Cached values are the POST-resize canvas arrays (decode + watermark
+    crop + resize all amortized) and are marked read-only — consumers
+    stack them into fresh batch arrays, never mutate in place. Path keys
+    (not indices) keep `split_dataset`'s shallow copies — which share
+    this object — correct. Thread-safe for the prefetch thread
+    (`data/prefetch.py`) iterating while the main thread runs eval."""
+
+    def __init__(self, budget_mb: float):
+        self.budget = int(budget_mb * 2 ** 20)
+        self._items: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._bytes = 0
+        self._lock = threading.Lock()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        with self._lock:
+            hit = self._items.get(key)
+            if hit is None:
+                self.misses += 1
+                return None
+            self._items.move_to_end(key)
+            self.hits += 1
+            return hit[0]
+
+    def put(self, key, value) -> None:
+        nbytes = sum(a.nbytes for a in value if a is not None)
+        if nbytes > self.budget:
+            return
+        for a in value:
+            if a is not None:
+                a.flags.writeable = False
+        with self._lock:
+            if key in self._items:
+                return
+            while self._bytes + nbytes > self.budget and self._items:
+                _, (_, old) = self._items.popitem(last=False)
+                self._bytes -= old
+            self._items[key] = (value, nbytes)
+            self._bytes += nbytes
 
 
 def list_tile_ids(data_dir: str) -> Tuple[List[str], bool]:
@@ -86,13 +137,15 @@ class TileDataset:
 
     def __init__(self, data_dir: str, mask_dir: Optional[str] = None,
                  canvas: int = 512, has_mask: bool = True,
-                 book: bool = False, pair: bool = False):
+                 book: bool = False, pair: bool = False,
+                 cache_mb: float = 0.0):
         self.data_dir = data_dir
         self.mask_dir = mask_dir
         self.canvas = canvas
         self.has_mask = has_mask and mask_dir is not None
         self.book = book
         self.pair = pair
+        self.cache = _DecodedCache(cache_mb) if cache_mb > 0 else None
         self.ids, self.unlabeled = list_tile_ids(data_dir)
 
     def __len__(self) -> int:
@@ -121,6 +174,21 @@ class TileDataset:
         return _resize_u8(m, (self.canvas, self.canvas), nearest=True)
 
     def __getitem__(self, idx: int):
+        if self.cache is None:
+            return self._load_item(idx)
+        # keyed by the image path (+ the mode flags that change the decoded
+        # value for the same file), so datasets sharing one cache object
+        # after split_dataset's shallow copy can't collide
+        key = (self.image_path(idx), self.canvas, self.has_mask,
+               self.book, self.pair)
+        hit = self.cache.get(key)
+        if hit is not None:
+            return hit
+        item = self._load_item(idx)
+        self.cache.put(key, item)
+        return item
+
+    def _load_item(self, idx: int):
         if self.pair:
             bing = _resize_u8(
                 _decode_rgb(self.image_path(idx), BING_WATERMARK_PX),

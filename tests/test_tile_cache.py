@@ -1,0 +1,114 @@
+"""Decoded-tile RAM cache (`TileDataset(cache_mb=...)`, CLI --cache-tiles).
+
+The reference re-decodes every tile every epoch
+(`archaeological_georgia_biostyle_dataloader.py:59-69`); the cache amortizes
+decode+crop+resize across epochs under a byte budget.
+"""
+
+import numpy as np
+import pytest
+
+from semisupervisedobjectdetection_tpu.data.loader import (
+    TileLoader,
+    split_dataset,
+)
+from semisupervisedobjectdetection_tpu.data.tiles import TileDataset
+from semisupervisedobjectdetection_tpu.data.synthetic import (
+    write_synthetic_dataset,
+)
+
+
+@pytest.fixture()
+def tile_root(tmp_path):
+    write_synthetic_dataset(str(tmp_path / "t"), str(tmp_path / "m"),
+                            n=6, size=96, seed=0)
+    return tmp_path
+
+
+def test_cache_hit_returns_identical_item(tile_root):
+    ds = TileDataset(str(tile_root / "t"), str(tile_root / "m"),
+                     canvas=96, cache_mb=64)
+    img1, mask1 = ds[0]
+    img2, mask2 = ds[0]
+    assert img2 is img1 and mask2 is mask1           # served from cache
+    assert ds.cache.hits == 1 and ds.cache.misses == 1
+    cold = TileDataset(str(tile_root / "t"), str(tile_root / "m"),
+                       canvas=96)
+    img3, mask3 = cold[0]
+    np.testing.assert_array_equal(img1, img3)
+    np.testing.assert_array_equal(mask1, mask3)
+
+
+def test_cache_survives_file_deletion(tile_root):
+    """Strong proof the second epoch never touches the file system."""
+    ds = TileDataset(str(tile_root / "t"), str(tile_root / "m"),
+                     canvas=96, cache_mb=64)
+    items = [ds[i] for i in range(len(ds))]
+    for f in (tile_root / "t").iterdir():
+        f.unlink()
+    for f in (tile_root / "m").iterdir():
+        f.unlink()
+    for i in range(len(ds)):
+        img, mask = ds[i]
+        np.testing.assert_array_equal(img, items[i][0])
+        np.testing.assert_array_equal(mask, items[i][1])
+
+
+def test_budget_eviction(tile_root):
+    item_mb = (96 * 96 * 3 + 96 * 96) / 2 ** 20
+    ds = TileDataset(str(tile_root / "t"), str(tile_root / "m"),
+                     canvas=96, cache_mb=2.5 * item_mb)
+    for i in range(len(ds)):
+        ds[i]
+    assert len(ds.cache._items) == 2                 # LRU kept the last 2
+    assert ds.cache._bytes <= ds.cache.budget
+    # an item bigger than the whole budget is simply not cached
+    tiny = TileDataset(str(tile_root / "t"), str(tile_root / "m"),
+                       canvas=96, cache_mb=0.5 * item_mb)
+    tiny[0]
+    assert len(tiny.cache._items) == 0
+
+
+def test_split_dataset_shares_cache_without_collisions(tile_root):
+    ds = TileDataset(str(tile_root / "t"), str(tile_root / "m"),
+                     canvas=96, cache_mb=64)
+    train, val = split_dataset(ds, frac=0.5, seed=0)
+    assert train.cache is val.cache is ds.cache      # shared budget
+    t_items = [train[i][0] for i in range(len(train))]
+    v_items = [val[i][0] for i in range(len(val))]
+    # path-keyed: same index in the two splits must NOT alias
+    for ti, vi in zip(t_items, v_items):
+        assert not np.array_equal(ti, vi)
+    # and re-reads hit the shared cache
+    assert train[0][0] is t_items[0]
+    assert val[0][0] is v_items[0]
+
+
+def test_loader_batches_identical_with_and_without_cache(tile_root):
+    a = TileDataset(str(tile_root / "t"), str(tile_root / "m"), canvas=96)
+    b = TileDataset(str(tile_root / "t"), str(tile_root / "m"), canvas=96,
+                    cache_mb=64)
+    la = TileLoader(a, 2, shuffle=True, seed=3)
+    lb = TileLoader(b, 2, shuffle=True, seed=3)
+    for _ in range(2):   # two epochs: epoch 2 is all cache hits for lb
+        for (ia, ma), (ib, mb) in zip(la, lb):
+            np.testing.assert_array_equal(ia, ib)
+            np.testing.assert_array_equal(ma, mb)
+    assert b.cache.hits > 0
+
+
+def test_cli_flag_routes_to_python_loader(tile_root):
+    from semisupervisedobjectdetection_tpu.cli import common as cli_common
+
+    args = cli_common.base_parser("t").parse_args(
+        ["--synthetic", "--cache-tiles", "32", "--img-size", "64"])
+    dcfg, _ = cli_common.configs_from_args(args)
+    assert dcfg.cache_mb == 32
+    dcfg = dcfg.replace(dataset=str(tile_root / "t"),
+                        evalset=str(tile_root / "t"),
+                        maskdir=str(tile_root / "m"), canvas=96)
+    loaders = cli_common.make_loaders(dcfg, flags=("train",))
+    loader = loaders["train"]
+    assert isinstance(loader, TileLoader)            # native path bypassed
+    assert loader.dataset.cache is not None
+    assert loader.dataset.cache.budget == 32 * 2 ** 20
