@@ -25,10 +25,7 @@ from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
     save_state,
 )
 from semisupervisedobjectdetection_tpu.cli import common
-from semisupervisedobjectdetection_tpu.core.config import (
-    MIT_VARIANTS,
-    product_grid,
-)
+from semisupervisedobjectdetection_tpu.core.config import MIT_VARIANTS
 from semisupervisedobjectdetection_tpu.utils import preemption
 from semisupervisedobjectdetection_tpu.utils.logging import MetricLogger
 
@@ -146,42 +143,23 @@ def main(argv=None):
     if args.tune:
         # Reference tuning splits the LABELED set 80/20 and never touches
         # the unlabeled tiles (`:133-143` passes unlabel_dataloader=None).
-        from semisupervisedobjectdetection_tpu.data.loader import (
-            split_dataset,
-        )
-
         dcfg = common.ensure_data(args, dcfg)
         loaders = common.make_loaders(dcfg, args.seed, flags=("train",))
-        tr, va = split_dataset(loaders["train"].dataset, 0.8, args.seed)
-        sub = {
-            "train": common._make_loader(
-                tr, min(dcfg.batch_size, max(len(tr), 1)), dcfg,
-                args.seed),
-            "eval": common._make_loader(
-                va, min(dcfg.batch_size, max(len(va), 1)), dcfg,
-                args.seed),
-        }
+        sub = common.split_loaders(dcfg, loaders["train"].dataset,
+                                   args.seed)
         common.check_grad_accum(args, sub["train"])
-        grid = product_grid(
-            [float(x) for x in args.tune_lrs.split(",")],
-            [float(x) for x in args.tune_wds.split(",")],
-            [float(x) for x in args.tune_gammas.split(",")],
-            shuffle=True, seed=args.seed)[:args.tune_max]
-        best, best_pt = float("inf"), None
-        for lr, wd, gamma in grid:
-            print(f"tuning: lr={lr} weight_decay={wd} scheduler={gamma}")
-            tci = tc.replace(lr=lr, weight_decay=wd, lr_decay=gamma,
-                             epochs=max(tc.epochs // 5, 1))
-            model = SegFormerModel(num_labels=3, train_config=tci,
+
+        def run_point(tci, plog):
+            # --pretrain-weight warm-starts every grid point, same as the
+            # real run it tunes for (and as the sibling fewshot --tune)
+            model = SegFormerModel(pretrain_weight=args.pretrain_weight,
+                                   num_labels=3, train_config=tci,
                                    config=cfg, grad_accum=args.grad_accum)
-            loss = train_loop(model, sub, dcfg, tci, args, logger,
+            return train_loop(model, sub, dcfg, tci, args, plog,
                               save_model=False)
-            print(f"lr={lr} wd={wd} gamma={gamma}: "
-                  f"best train+eval {loss:.4f}")
-            if loss < best:
-                best, best_pt = loss, (lr, wd, gamma)
-        print(f"best: lr={best_pt[0]} weight_decay={best_pt[1]} "
-              f"scheduler={best_pt[2]} loss={best:.4f}")
+
+        common.run_tune_grid(args, tc, run_point,
+                             objective="best train+eval")
         logger.close()
         return
 

@@ -84,7 +84,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "C++ loader fails fast)")
     p.add_argument("--cache-tiles", type=float, default=0.0, metavar="MB",
                    help="LRU-cache decoded tiles in host RAM up to this "
-                        "many megabytes (~1 MB per 512² labeled tile): "
+                        "many megabytes, ONE budget shared by all the "
+                        "run's datasets (~1 MB per 512² labeled tile): "
                         "epochs after the first skip PNG decode + resize "
                         "entirely. 0 (default) re-decodes every epoch like "
                         "the reference; forces the Python decode path")
@@ -385,6 +386,14 @@ def preempt_exit(args, saves, epoch: int):
     row)."""
     from semisupervisedobjectdetection_tpu.utils import preemption
 
+    # A --tune run's state is a throwaway grid point (trained at epochs//5
+    # with swept hyperparameters): writing it to the shared `*_last` slot
+    # would let a later `--resume` silently warm-start production training
+    # from it. Drop the saves; preemption still exits cleanly.
+    tuning = bool(getattr(args, "tune", False)
+                  or getattr(args, "tune_lr", None))
+    if tuning:
+        saves = []
     wrote = []
     if args.checkpoint_dir:
         from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
@@ -401,6 +410,8 @@ def preempt_exit(args, saves, epoch: int):
     if wrote:
         msg += (f"wrote {', '.join(wrote)} to {args.checkpoint_dir} — "
                 f"restart with --resume to continue from epoch {epoch}")
+    elif tuning:
+        msg += "tune grid point state NOT saved (rerun the sweep)"
     else:
         msg += "no --checkpoint-dir set, training state NOT saved"
     print(msg, flush=True)
@@ -439,11 +450,11 @@ def make_loaders(dcfg: DataConfig, seed: int = 0,
         # an empty loader when the dataset is smaller than one batch (tiny
         # synthetic smoke runs); clamp the batch size instead.
         bs = min(dcfg.batch_size, max(len(ds), 1))
-        out[flag] = _make_loader(ds, bs, dcfg, seed)
+        out[flag] = make_loader(ds, bs, dcfg, seed)
     return out
 
 
-def _make_loader(ds, bs, dcfg, seed):
+def make_loader(ds, bs, dcfg, seed):
     """Prefer the native (C++ threaded) decode path when built; fall back
     to the PIL loader. Multi-host sharding only on the Python loader for
     now (single-host pods use the native path). `--skip-bad-tiles`
@@ -462,6 +473,79 @@ def _make_loader(ds, bs, dcfg, seed):
         ds, bs, shuffle=dcfg.shuffle, drop_last=dcfg.drop_last, seed=seed,
         num_shards=jax.process_count(), shard_index=jax.process_index(),
         on_bad_tile=dcfg.bad_tile_policy)
+
+
+_make_loader = make_loader    # back-compat alias
+
+
+def split_loaders(dcfg, dataset, seed: int) -> dict:
+    """80/20 train/eval loaders over one labeled dataset — the reference's
+    Hyperparameter_Tuning split (`segFormer_main.py:107-114`), shared by
+    the --tune paths."""
+    from semisupervisedobjectdetection_tpu.data.loader import split_dataset
+
+    tr, va = split_dataset(dataset, 0.8, seed)
+    return {
+        "train": make_loader(tr, min(dcfg.batch_size, max(len(tr), 1)),
+                             dcfg, seed),
+        "eval": make_loader(va, min(dcfg.batch_size, max(len(va), 1)),
+                            dcfg, seed),
+    }
+
+
+def tune_point_logger(args, tag: str):
+    """Per-grid-point MetricLogger: suffix --metrics-csv with the point's
+    tag. One shared sweep CSV would interleave rows of unrelated runs with
+    repeating epoch numbers and no column identifying the point
+    (MetricLogger pins its schema on the first row)."""
+    from semisupervisedobjectdetection_tpu.utils.logging import MetricLogger
+
+    base = getattr(args, "metrics_csv", None)
+    if not base:
+        return MetricLogger(None)
+    root, ext = os.path.splitext(base)
+    return MetricLogger(f"{root}.{tag}{ext or '.csv'}")
+
+
+def run_tune_grid(args, tc, run_point, objective: str = "best eval"):
+    """Shared --tune sweep driver for the lr × weight-decay × scheduler-γ
+    grids (autoencoder ref `segFormer_autoencoder_main.py:133-170`,
+    few-shot ref `segFormer_fewshot_learning.py:362-363`): shuffled
+    cartesian grid, first --tune-max points, each point trained at
+    epochs//5 with checkpoints disabled. `run_point(tci, logger)` returns
+    the point's objective value; a sweep where no point yields a finite
+    objective (e.g. every lr diverged to NaN) reports that instead of
+    crashing the summary. Returns (best, best_point_or_None)."""
+    from semisupervisedobjectdetection_tpu.core.config import product_grid
+
+    grid = product_grid(
+        [float(x) for x in args.tune_lrs.split(",")],
+        [float(x) for x in args.tune_wds.split(",")],
+        [float(x) for x in args.tune_gammas.split(",")],
+        shuffle=True, seed=args.seed)[:args.tune_max]
+    if not grid:
+        raise SystemExit("--tune grid is empty (check --tune-lrs / "
+                         "--tune-wds / --tune-gammas / --tune-max)")
+    best, best_pt = float("inf"), None
+    for lr, wd, gamma in grid:
+        print(f"tuning: lr={lr} weight_decay={wd} scheduler={gamma}")
+        tci = tc.replace(lr=lr, weight_decay=wd, lr_decay=gamma,
+                         epochs=max(tc.epochs // 5, 1))
+        plog = tune_point_logger(args, f"lr{lr}_wd{wd}_g{gamma}")
+        try:
+            loss = run_point(tci, plog)
+        finally:
+            plog.close()
+        print(f"lr={lr} wd={wd} gamma={gamma}: {objective} {loss:.4f}")
+        if loss < best:
+            best, best_pt = loss, (lr, wd, gamma)
+    if best_pt is None:
+        print(f"tune: no grid point produced a finite {objective} "
+              f"({len(grid)} points tried)")
+    else:
+        print(f"best: lr={best_pt[0]} weight_decay={best_pt[1]} "
+              f"scheduler={best_pt[2]} loss={best:.4f}")
+    return best, best_pt
 
 
 def maybe_plot_curves(args) -> None:

@@ -163,27 +163,11 @@ def main(argv=None):
     print(f"{len(lab)} labeled domains, {len(unlab)} unlabeled domains")
 
     if args.tune:
-        from semisupervisedobjectdetection_tpu.core.config import (
-            product_grid,
-        )
-
-        grid = product_grid(
-            [float(x) for x in args.tune_lrs.split(",")],
-            [float(x) for x in args.tune_wds.split(",")],
-            [float(x) for x in args.tune_gammas.split(",")],
-            shuffle=True, seed=args.seed)[:args.tune_max]
-        best, best_pt = float("inf"), None
-        for lr, wd, gamma in grid:
-            print(f"tuning: lr={lr} weight_decay={wd} scheduler={gamma}")
-            tci = tc.replace(lr=lr, weight_decay=wd, lr_decay=gamma,
-                             epochs=max(tc.epochs // 5, 1))
-            loss = train_run(args, dcfg, tci, cfg, logger, eval_loaders,
+        def run_point(tci, plog):
+            return train_run(args, dcfg, tci, cfg, plog, eval_loaders,
                              lab, unlab, iters, save_model=False)
-            print(f"lr={lr} wd={wd} gamma={gamma}: best eval {loss:.4f}")
-            if loss < best:
-                best, best_pt = loss, (lr, wd, gamma)
-        print(f"best: lr={best_pt[0]} weight_decay={best_pt[1]} "
-              f"scheduler={best_pt[2]} loss={best:.4f}")
+
+        common.run_tune_grid(args, tc, run_point)
         logger.close()
         return
 

@@ -35,8 +35,11 @@ from semisupervisedobjectdetection_tpu.utils.logging import (
 
 
 def train_loop(model: SegFormerModel, loaders, dcfg, tc, args,
-               logger: MetricLogger, loss_type: str = "dice"):
-    """Epoch loop mirroring `Train` (`segFormer_main.py:35-100`)."""
+               logger: MetricLogger, loss_type: str = "dice",
+               save_model: bool = True):
+    """Epoch loop mirroring `Train` (`segFormer_main.py:35-100`).
+    `save_model=False` (tuning) skips every checkpoint write like the
+    reference's `Hyperparameter_Tuning(save_model=False)` (`:125-142`)."""
     from semisupervisedobjectdetection_tpu.data.prefetch import (
         prefetch_train_batches,
     )
@@ -48,7 +51,8 @@ def train_loop(model: SegFormerModel, loaders, dcfg, tc, args,
     start_epoch = 0
     # --tune-lr reruns this loop per grid point: resuming them all from
     # one shared `_last` would be wrong, so tuning disables resume.
-    resume = (getattr(args, "resume", False) and args.checkpoint_dir
+    resume = (save_model and getattr(args, "resume", False)
+              and args.checkpoint_dir
               and not getattr(args, "tune_lr", None))
     if resume:
         from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
@@ -178,7 +182,7 @@ def train_loop(model: SegFormerModel, loaders, dcfg, tc, args,
                    fps=fps, lr=lr_now)
         if eval_loss < best:
             best = eval_loss
-            if args.checkpoint_dir:
+            if save_model and args.checkpoint_dir:
                 ckpt.maybe_save(model.state, epoch, train_loss, eval_loss,
                                 fps)
         if resume:
@@ -259,33 +263,30 @@ def main(argv=None):
     logger = MetricLogger(args.metrics_csv)
 
     if args.tune_lr:
-        from semisupervisedobjectdetection_tpu.data.loader import (
-            split_dataset,
-        )
-
         best_lr, best = None, float("inf")
-        tr, va = split_dataset(loaders["train"].dataset, 0.8, args.seed)
-        sub = {
-            "train": common._make_loader(
-                tr, min(dcfg.batch_size, max(len(tr), 1)), dcfg,
-                args.seed),
-            "eval": common._make_loader(
-                va, min(dcfg.batch_size, max(len(va), 1)), dcfg,
-                args.seed),
-        }
+        sub = common.split_loaders(dcfg, loaders["train"].dataset,
+                                   args.seed)
         common.check_grad_accum(args, sub["train"], dp_pp_capable=True)
         for lr in [float(x) for x in args.tune_lr.split(",")]:
             model = SegFormerModel(lr=lr, train_config=tc, config=cfg,
                                    grad_accum=args.grad_accum)
             _, (model.state,) = common.setup_parallel(
                 args, (model.state,), cfg)
-            loss = train_loop(model, sub, dcfg,
-                              tc.replace(epochs=max(tc.epochs // 5, 1)),
-                              args, logger, args.loss)
+            plog = common.tune_point_logger(args, f"lr{lr}")
+            try:
+                loss = train_loop(
+                    model, sub, dcfg,
+                    tc.replace(epochs=max(tc.epochs // 5, 1)),
+                    args, plog, args.loss, save_model=False)
+            finally:
+                plog.close()
             print(f"lr={lr}: best eval loss {loss:.4f}")
             if loss < best:
                 best, best_lr = loss, lr
-        print(f"best lr: {best_lr} ({best:.4f})")
+        if best_lr is None:
+            print(f"tune: no lr produced a finite eval loss")
+        else:
+            print(f"best lr: {best_lr} ({best:.4f})")
         return
 
     model = SegFormerModel(pretrain_weight=args.pretrain_weight,

@@ -63,6 +63,9 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
 
     ckpt_s = BestCheckpointer(args.checkpoint_dir, "ts_student")
     ckpt_t = BestCheckpointer(args.checkpoint_dir, "ts_teacher")
+    # --tune grid points never write checkpoints (reference
+    # Hyperparameter_Tuning passes save_model=False, `:274-290`)
+    save_model = args.checkpoint_dir and not getattr(args, "tune", False)
     rng = jax.random.PRNGKey(args.seed)
     sup_w = jnp.asarray(supervise_weight)
     # The reference semi script runs its forwards in TRAIN mode
@@ -186,11 +189,11 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
         # best checkpoints).
         if eval_s < best_s:
             best_s = eval_s
-            if args.checkpoint_dir:
+            if save_model:
                 ckpt_s.maybe_save(student, epoch, train_loss, eval_s, fps)
         if eval_t < best_t:
             best_t = eval_t
-            if args.checkpoint_dir:
+            if save_model:
                 ckpt_t.maybe_save(teacher, epoch, train_loss, eval_t, fps)
 
         if args.reset_teacher and epoch != 0 and epoch % 5 == 0:
@@ -351,11 +354,11 @@ def _ema_train_loop(args, dcfg, tc, loaders, cfg, logger, *, teacher,
               f"(ema), student eval {eval_s:.4f}")
         if eval_s < best_s:
             best_s = eval_s
-            if args.checkpoint_dir:
+            if save_model:
                 ckpt_s.maybe_save(student, epoch, train_loss, eval_s, fps)
         if eval_t < best_t:
             best_t = eval_t
-            if args.checkpoint_dir:
+            if save_model:
                 ckpt_t.maybe_save(teacher, epoch, train_loss, eval_t, fps)
         _save_lasts(args, teacher, student, epoch, best_s, best_t)
     _wait_saves(args)
@@ -492,14 +495,22 @@ def main(argv=None):
                             seed=args.seed)
         best, best_pt = float("inf"), None
         for t_lr, s_lr, w, thr in grid:
-            loss = train_run(args, dcfg, tc, loaders, cfg, logger,
-                             teacher_lr=t_lr, student_lr=s_lr,
-                             supervise_weight=w, threshold=thr,
-                             epochs=max(tc.epochs // 5, 1))
+            plog = common.tune_point_logger(args, f"w{w}_thr{thr}")
+            try:
+                loss = train_run(args, dcfg, tc, loaders, cfg, plog,
+                                 teacher_lr=t_lr, student_lr=s_lr,
+                                 supervise_weight=w, threshold=thr,
+                                 epochs=max(tc.epochs // 5, 1))
+            finally:
+                plog.close()
             print(f"w={w} thr={thr}: best eval {loss:.4f}")
             if loss < best:
                 best, best_pt = loss, (t_lr, s_lr, w, thr)
-        print(f"best grid point: {best_pt} ({best:.4f})")
+        if best_pt is None:
+            print(f"tune: no grid point produced a finite eval loss "
+                  f"({len(grid)} points tried)")
+        else:
+            print(f"best grid point: {best_pt} ({best:.4f})")
     else:
         train_run(args, dcfg, tc, loaders, cfg, logger,
                   teacher_lr=args.teacher_lr, student_lr=args.student_lr,

@@ -80,14 +80,24 @@ def main(argv=None):
         for lr, fz, tok in grid:
             model = build_model(args, tc, cfg, list(fz), (tok,) * 4,
                                 lr=lr)
-            loss = train_loop(model, loaders, dcfg,
-                              tc.replace(epochs=max(tc.epochs // 5, 1)),
-                              args, logger)
+            plog = common.tune_point_logger(
+                args, f"lr{lr}_fz{'-'.join(map(str, fz))}_tok{tok}")
+            try:
+                loss = train_loop(
+                    model, loaders, dcfg,
+                    tc.replace(epochs=max(tc.epochs // 5, 1)),
+                    args, plog, save_model=False)
+            finally:
+                plog.close()
             print(f"lr={lr} frozen={fz} tokens={tok}: {loss:.4f}")
             if loss < best:
                 best, best_pt = loss, (lr, fz, tok)
-        print(f"best: lr={best_pt[0]} frozen={best_pt[1]} "
-              f"tokens={best_pt[2]} loss={best:.4f}")
+        if best_pt is None:
+            print(f"tune: no grid point produced a finite eval loss "
+                  f"({len(grid)} points tried)")
+        else:
+            print(f"best: lr={best_pt[0]} frozen={best_pt[1]} "
+                  f"tokens={best_pt[2]} loss={best:.4f}")
         return
 
     model = build_model(args, tc, cfg, frozen, tokens,

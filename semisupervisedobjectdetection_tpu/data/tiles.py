@@ -83,6 +83,26 @@ class _DecodedCache:
             self._bytes += nbytes
 
 
+_SHARED_CACHE: Optional[_DecodedCache] = None
+
+
+def shared_cache(budget_mb: float) -> _DecodedCache:
+    """The process-wide decoded-tile cache: every dataset constructed with
+    `cache_mb>0` shares ONE byte budget. A CLI run builds several datasets
+    (train/eval/unlabeled/pseudo, one per few-shot domain) and
+    `--cache-tiles MB` promises a single RAM budget — per-dataset caches
+    would multiply it by the dataset count and OOM the small hosts the
+    flag targets. Path-keyed entries make sharing collision-free; the
+    largest requested budget wins."""
+    global _SHARED_CACHE
+    if _SHARED_CACHE is None:
+        _SHARED_CACHE = _DecodedCache(budget_mb)
+    else:
+        _SHARED_CACHE.budget = max(_SHARED_CACHE.budget,
+                                   int(budget_mb * 2 ** 20))
+    return _SHARED_CACHE
+
+
 def list_tile_ids(data_dir: str) -> Tuple[List[str], bool]:
     """Return (ids, unlabeled) following the reference's basename-length
     heuristic (`archaeological_georgia_biostyle_dataloader.py:42-48`)."""
@@ -138,14 +158,18 @@ class TileDataset:
     def __init__(self, data_dir: str, mask_dir: Optional[str] = None,
                  canvas: int = 512, has_mask: bool = True,
                  book: bool = False, pair: bool = False,
-                 cache_mb: float = 0.0):
+                 cache_mb: float = 0.0,
+                 cache: Optional[_DecodedCache] = None):
         self.data_dir = data_dir
         self.mask_dir = mask_dir
         self.canvas = canvas
         self.has_mask = has_mask and mask_dir is not None
         self.book = book
         self.pair = pair
-        self.cache = _DecodedCache(cache_mb) if cache_mb > 0 else None
+        # cache_mb>0 joins the PROCESS-WIDE cache (one budget across all
+        # datasets — see shared_cache); pass `cache` for an isolated one.
+        self.cache = cache if cache is not None else (
+            shared_cache(cache_mb) if cache_mb > 0 else None)
         self.ids, self.unlabeled = list_tile_ids(data_dir)
 
     def __len__(self) -> int:

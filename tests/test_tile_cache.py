@@ -2,17 +2,23 @@
 
 The reference re-decodes every tile every epoch
 (`archaeological_georgia_biostyle_dataloader.py:59-69`); the cache amortizes
-decode+crop+resize across epochs under a byte budget.
+decode+crop+resize across epochs under ONE process-wide byte budget
+(`tiles.shared_cache`). Tests that assert hit/entry counts inject an
+isolated `_DecodedCache` so they stay order-independent.
 """
 
 import numpy as np
 import pytest
 
+from semisupervisedobjectdetection_tpu.data import tiles as tiles_mod
 from semisupervisedobjectdetection_tpu.data.loader import (
     TileLoader,
     split_dataset,
 )
-from semisupervisedobjectdetection_tpu.data.tiles import TileDataset
+from semisupervisedobjectdetection_tpu.data.tiles import (
+    TileDataset,
+    _DecodedCache,
+)
 from semisupervisedobjectdetection_tpu.data.synthetic import (
     write_synthetic_dataset,
 )
@@ -25,9 +31,13 @@ def tile_root(tmp_path):
     return tmp_path
 
 
+def _cached_ds(tile_root, mb=64):
+    return TileDataset(str(tile_root / "t"), str(tile_root / "m"),
+                       canvas=96, cache=_DecodedCache(mb))
+
+
 def test_cache_hit_returns_identical_item(tile_root):
-    ds = TileDataset(str(tile_root / "t"), str(tile_root / "m"),
-                     canvas=96, cache_mb=64)
+    ds = _cached_ds(tile_root)
     img1, mask1 = ds[0]
     img2, mask2 = ds[0]
     assert img2 is img1 and mask2 is mask1           # served from cache
@@ -41,8 +51,7 @@ def test_cache_hit_returns_identical_item(tile_root):
 
 def test_cache_survives_file_deletion(tile_root):
     """Strong proof the second epoch never touches the file system."""
-    ds = TileDataset(str(tile_root / "t"), str(tile_root / "m"),
-                     canvas=96, cache_mb=64)
+    ds = _cached_ds(tile_root)
     items = [ds[i] for i in range(len(ds))]
     for f in (tile_root / "t").iterdir():
         f.unlink()
@@ -56,22 +65,37 @@ def test_cache_survives_file_deletion(tile_root):
 
 def test_budget_eviction(tile_root):
     item_mb = (96 * 96 * 3 + 96 * 96) / 2 ** 20
-    ds = TileDataset(str(tile_root / "t"), str(tile_root / "m"),
-                     canvas=96, cache_mb=2.5 * item_mb)
+    ds = _cached_ds(tile_root, mb=2.5 * item_mb)
     for i in range(len(ds)):
         ds[i]
     assert len(ds.cache._items) == 2                 # LRU kept the last 2
     assert ds.cache._bytes <= ds.cache.budget
     # an item bigger than the whole budget is simply not cached
-    tiny = TileDataset(str(tile_root / "t"), str(tile_root / "m"),
-                       canvas=96, cache_mb=0.5 * item_mb)
+    tiny = _cached_ds(tile_root, mb=0.5 * item_mb)
     tiny[0]
     assert len(tiny.cache._items) == 0
 
 
+def test_cache_mb_joins_one_shared_budget(tile_root):
+    """cache_mb>0 datasets all share the process-wide cache: a CLI run
+    builds several datasets and --cache-tiles promises ONE RAM budget,
+    not budget x dataset-count."""
+    a = TileDataset(str(tile_root / "t"), str(tile_root / "m"),
+                    canvas=96, cache_mb=16)
+    b = TileDataset(str(tile_root / "t"), None, canvas=96,
+                    has_mask=False, cache_mb=48)
+    assert a.cache is b.cache is tiles_mod._SHARED_CACHE
+    assert a.cache.budget >= 48 * 2 ** 20            # largest request wins
+    # path-keyed with mode flags: the labeled and unlabeled views of the
+    # same file don't collide
+    img_a, _ = a[0]
+    img_b, _ = b[0]
+    assert a[0][0] is img_a and b[0][0] is img_b
+    assert not (img_a is img_b)
+
+
 def test_split_dataset_shares_cache_without_collisions(tile_root):
-    ds = TileDataset(str(tile_root / "t"), str(tile_root / "m"),
-                     canvas=96, cache_mb=64)
+    ds = _cached_ds(tile_root)
     train, val = split_dataset(ds, frac=0.5, seed=0)
     assert train.cache is val.cache is ds.cache      # shared budget
     t_items = [train[i][0] for i in range(len(train))]
@@ -86,8 +110,7 @@ def test_split_dataset_shares_cache_without_collisions(tile_root):
 
 def test_loader_batches_identical_with_and_without_cache(tile_root):
     a = TileDataset(str(tile_root / "t"), str(tile_root / "m"), canvas=96)
-    b = TileDataset(str(tile_root / "t"), str(tile_root / "m"), canvas=96,
-                    cache_mb=64)
+    b = _cached_ds(tile_root)
     la = TileLoader(a, 2, shuffle=True, seed=3)
     lb = TileLoader(b, 2, shuffle=True, seed=3)
     for _ in range(2):   # two epochs: epoch 2 is all cache hits for lb
@@ -110,5 +133,5 @@ def test_cli_flag_routes_to_python_loader(tile_root):
     loaders = cli_common.make_loaders(dcfg, flags=("train",))
     loader = loaders["train"]
     assert isinstance(loader, TileLoader)            # native path bypassed
-    assert loader.dataset.cache is not None
-    assert loader.dataset.cache.budget == 32 * 2 ** 20
+    assert loader.dataset.cache is tiles_mod._SHARED_CACHE
+    assert loader.dataset.cache.budget >= 32 * 2 ** 20
