@@ -67,9 +67,33 @@ def _merge_restore(template_tree, restored_tree, path=()):
     return template_tree  # shape mismatch: keep fresh init
 
 
+def _place_like(template_tree, tree):
+    """Re-place restored leaves onto the template leaves' shardings.
+
+    A resumed `--parallel` run restores into FSDP/TP-sharded templates
+    (cli/common.setup_parallel runs before the resume load), and the
+    checkpoint may have been written under a DIFFERENT placement: a plain
+    single-device run preempted then resumed with --parallel fsdp, a
+    changed device count, or vice versa. Orbax restores each leaf with the
+    sharding recorded in the file and warns that is "unsafe when restoring
+    on a different topology" — committing every leaf to the TEMPLATE's
+    sharding instead makes the restored state indistinguishable from the
+    freshly-sharded one, on any topology. Single-device templates make
+    this a plain device placement."""
+    import jax
+
+    def place(t, r):
+        if isinstance(t, jax.Array) and getattr(r, "shape", None) == t.shape:
+            return jax.device_put(r, t.sharding)
+        return jnp_asarray(r)
+
+    return jax.tree.map(place, template_tree, tree)
+
+
 def restore_state(path: str, template: TrainState,
                   load_opt_state: Optional[bool] = None) -> TrainState:
-    """Restore into the structure of `template` (which supplies tx/config).
+    """Restore into the structure of `template` (which supplies tx/config
+    AND the target sharding of every leaf — see `_place_like`).
 
     Partial/mismatched loads follow the reference's strict=False behavior:
     missing or shape-incompatible leaves keep the template's values, and a
@@ -88,9 +112,10 @@ def restore_state(path: str, template: TrainState,
                                  restored.get("batch_stats", {}))
 
     new = template.replace(
-        params=jax.tree.map(jnp_asarray, params),
-        batch_stats=jax.tree.map(jnp_asarray, batch_stats),
-        epoch=jnp_asarray(restored.get("epoch", template.epoch)),
+        params=_place_like(template.params, params),
+        batch_stats=_place_like(template.batch_stats, batch_stats),
+        epoch=_place_like(template.epoch,
+                          restored.get("epoch", template.epoch)),
     )
     try:
         t_leaves = jax.tree.leaves(template.opt_state)
@@ -99,8 +124,9 @@ def restore_state(path: str, template: TrainState,
                 getattr(a, "shape", None) == getattr(b, "shape", None)
                 for a, b in zip(t_leaves, r_leaves)):
             flat_t = jax.tree_util.tree_structure(template.opt_state)
-            new = new.replace(opt_state=jax.tree_util.tree_unflatten(
-                flat_t, [jnp_asarray(x) for x in r_leaves]))
+            new = new.replace(opt_state=_place_like(
+                template.opt_state,
+                jax.tree_util.tree_unflatten(flat_t, r_leaves)))
     except Exception:
         pass
     return new
