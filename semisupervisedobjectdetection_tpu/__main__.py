@@ -51,12 +51,13 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     if args.cpu:
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags +
-                f" --xla_force_host_platform_device_count={args.cpu}"
-            ).strip()
+        # Drop any inherited device-count flag so --cpu N always wins
+        # (a stale =1 from a test harness would silently skip the
+        # multi-device check while reporting success).
+        kept = [f for f in os.environ.get("XLA_FLAGS", "").split()
+                if "xla_force_host_platform_device_count" not in f]
+        kept.append(f"--xla_force_host_platform_device_count={args.cpu}")
+        os.environ["XLA_FLAGS"] = " ".join(kept)
 
     import jax
 

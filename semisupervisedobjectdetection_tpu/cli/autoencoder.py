@@ -80,7 +80,7 @@ def train_loop(model, loaders, dcfg, tc, args, logger,
         if preemption.stop_requested():
             common.preempt_exit(
                 args, [("segformer_autoencoder", model.state, best)],
-                epoch)
+                epoch, tuning=not save_model)
         model.scheduler_step()
         train_losses = common.host_floats(train_losses)
 

@@ -369,7 +369,7 @@ def check_grad_accum(args, train_loader, dp_pp_capable: bool = False
             f"{len(train_loader.dataset) % bs}; enable drop_last")
 
 
-def preempt_exit(args, saves, epoch: int):
+def preempt_exit(args, saves, epoch: int, *, tuning: bool = False):
     """Checkpoint-and-exit after a preemption signal stopped a training
     loop mid-epoch (utils/preemption.py — the loops poll
     `preemption.stop_requested()` at batch boundaries and call this).
@@ -389,9 +389,9 @@ def preempt_exit(args, saves, epoch: int):
     # A --tune run's state is a throwaway grid point (trained at epochs//5
     # with swept hyperparameters): writing it to the shared `*_last` slot
     # would let a later `--resume` silently warm-start production training
-    # from it. Drop the saves; preemption still exits cleanly.
-    tuning = bool(getattr(args, "tune", False)
-                  or getattr(args, "tune_lr", None))
+    # from it. `tuning` is passed EXPLICITLY by each caller (sniffing flag
+    # names like args.tune here would silently miss a CLI whose sweep flag
+    # is spelled differently). Drop the saves; still exit cleanly.
     if tuning:
         saves = []
     wrote = []
@@ -507,15 +507,43 @@ def tune_point_logger(args, tag: str):
     return MetricLogger(f"{root}.{tag}{ext or '.csv'}")
 
 
+def sweep_grid(args, grid, run_point, *, tag_of, show_of=None,
+               objective: str = "best eval", empty_hint: str = ""):
+    """Generic --tune sweep core shared by EVERY grid-search CLI: per-point
+    suffixed metrics CSV (tune_point_logger), empty-grid fail-fast, and an
+    all-NaN sweep reporting "no finite objective" instead of crashing the
+    summary. `grid` is a list of point tuples; `run_point(point, logger)`
+    returns the point's objective value; `tag_of(point)` must encode every
+    grid axis (singletons included) so two points can never alias a CSV.
+    Returns (best, best_point_or_None)."""
+    if not grid:
+        raise SystemExit("--tune grid is empty" +
+                         (f" ({empty_hint})" if empty_hint else ""))
+    show_of = show_of or tag_of
+    best, best_pt = float("inf"), None
+    for pt in grid:
+        plog = tune_point_logger(args, tag_of(pt))
+        try:
+            loss = run_point(pt, plog)
+        finally:
+            plog.close()
+        print(f"{show_of(pt)}: {objective} {loss:.4f}")
+        if loss < best:
+            best, best_pt = loss, pt
+    if best_pt is None:
+        print(f"tune: no grid point produced a finite {objective} "
+              f"({len(grid)} points tried)")
+    else:
+        print(f"best: {show_of(best_pt)} loss={best:.4f}")
+    return best, best_pt
+
+
 def run_tune_grid(args, tc, run_point, objective: str = "best eval"):
-    """Shared --tune sweep driver for the lr × weight-decay × scheduler-γ
-    grids (autoencoder ref `segFormer_autoencoder_main.py:133-170`,
-    few-shot ref `segFormer_fewshot_learning.py:362-363`): shuffled
-    cartesian grid, first --tune-max points, each point trained at
-    epochs//5 with checkpoints disabled. `run_point(tci, logger)` returns
-    the point's objective value; a sweep where no point yields a finite
-    objective (e.g. every lr diverged to NaN) reports that instead of
-    crashing the summary. Returns (best, best_point_or_None)."""
+    """--tune sweep driver for the lr × weight-decay × scheduler-γ grids
+    (autoencoder ref `segFormer_autoencoder_main.py:133-170`, few-shot ref
+    `segFormer_fewshot_learning.py:362-363`): shuffled cartesian grid,
+    first --tune-max points, each point trained at epochs//5 with
+    checkpoints disabled. Returns (best, best_point_or_None)."""
     from semisupervisedobjectdetection_tpu.core.config import product_grid
 
     grid = product_grid(
@@ -523,29 +551,22 @@ def run_tune_grid(args, tc, run_point, objective: str = "best eval"):
         [float(x) for x in args.tune_wds.split(",")],
         [float(x) for x in args.tune_gammas.split(",")],
         shuffle=True, seed=args.seed)[:args.tune_max]
-    if not grid:
-        raise SystemExit("--tune grid is empty (check --tune-lrs / "
-                         "--tune-wds / --tune-gammas / --tune-max)")
-    best, best_pt = float("inf"), None
-    for lr, wd, gamma in grid:
+
+    def point(pt, plog):
+        lr, wd, gamma = pt
         print(f"tuning: lr={lr} weight_decay={wd} scheduler={gamma}")
         tci = tc.replace(lr=lr, weight_decay=wd, lr_decay=gamma,
                          epochs=max(tc.epochs // 5, 1))
-        plog = tune_point_logger(args, f"lr{lr}_wd{wd}_g{gamma}")
-        try:
-            loss = run_point(tci, plog)
-        finally:
-            plog.close()
-        print(f"lr={lr} wd={wd} gamma={gamma}: {objective} {loss:.4f}")
-        if loss < best:
-            best, best_pt = loss, (lr, wd, gamma)
-    if best_pt is None:
-        print(f"tune: no grid point produced a finite {objective} "
-              f"({len(grid)} points tried)")
-    else:
-        print(f"best: lr={best_pt[0]} weight_decay={best_pt[1]} "
-              f"scheduler={best_pt[2]} loss={best:.4f}")
-    return best, best_pt
+        return run_point(tci, plog)
+
+    return sweep_grid(
+        args, grid, point,
+        tag_of=lambda p: f"lr{p[0]}_wd{p[1]}_g{p[2]}",
+        show_of=lambda p: (f"lr={p[0]} weight_decay={p[1]} "
+                           f"scheduler={p[2]}"),
+        objective=objective,
+        empty_hint="check --tune-lrs / --tune-wds / --tune-gammas / "
+                   "--tune-max")
 
 
 def maybe_plot_curves(args) -> None:

@@ -263,7 +263,8 @@ def train_run(args, dcfg, tc, cfg, logger, eval_loaders, lab, unlab,
                 break
         if preemption.stop_requested():
             common.preempt_exit(
-                args, [(f"fewshot_{args.mode}", state, best)], epoch)
+                args, [(f"fewshot_{args.mode}", state, best)], epoch,
+                tuning=not save_model)
         state = state.scheduler_step()
         # one device->host sync per epoch (tunnel round trips are ~32ms)
         ep_losses = common.host_floats(ep_losses)

@@ -141,7 +141,7 @@ def train_loop(model: SegFormerModel, loaders, dcfg, tc, args,
                     params=jax.device_put(trainer.merged_params(),
                                           jax.devices()[0]))
             common.preempt_exit(args, [("segformer", model.state, best)],
-                                epoch)
+                                epoch, tuning=not save_model)
         if trainer is not None:
             trainer.scheduler_step()
             # merged_params() is a host tree: commit it to one device NOW
@@ -263,30 +263,26 @@ def main(argv=None):
     logger = MetricLogger(args.metrics_csv)
 
     if args.tune_lr:
-        best_lr, best = None, float("inf")
         sub = common.split_loaders(dcfg, loaders["train"].dataset,
                                    args.seed)
         common.check_grad_accum(args, sub["train"], dp_pp_capable=True)
-        for lr in [float(x) for x in args.tune_lr.split(",")]:
+
+        def point(pt, plog):
+            (lr,) = pt
             model = SegFormerModel(lr=lr, train_config=tc, config=cfg,
                                    grad_accum=args.grad_accum)
             _, (model.state,) = common.setup_parallel(
                 args, (model.state,), cfg)
-            plog = common.tune_point_logger(args, f"lr{lr}")
-            try:
-                loss = train_loop(
-                    model, sub, dcfg,
-                    tc.replace(epochs=max(tc.epochs // 5, 1)),
-                    args, plog, args.loss, save_model=False)
-            finally:
-                plog.close()
-            print(f"lr={lr}: best eval loss {loss:.4f}")
-            if loss < best:
-                best, best_lr = loss, lr
-        if best_lr is None:
-            print(f"tune: no lr produced a finite eval loss")
-        else:
-            print(f"best lr: {best_lr} ({best:.4f})")
+            return train_loop(
+                model, sub, dcfg,
+                tc.replace(epochs=max(tc.epochs // 5, 1)),
+                args, plog, args.loss, save_model=False)
+
+        common.sweep_grid(
+            args, [(float(x),) for x in args.tune_lr.split(",") if x],
+            point, tag_of=lambda p: f"lr{p[0]}",
+            show_of=lambda p: f"lr={p[0]}",
+            objective="best eval loss", empty_hint="check --tune-lr")
         return
 
     model = SegFormerModel(pretrain_weight=args.pretrain_weight,

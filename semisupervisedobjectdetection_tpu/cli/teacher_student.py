@@ -41,7 +41,8 @@ def _preempt_exit(args, teacher, student, epoch, best_s, best_t):
     """Mid-epoch preemption: save BOTH `_last` checkpoints and exit 0
     (cli/common.preempt_exit semantics — `--resume` redoes the epoch)."""
     common.preempt_exit(args, [("ts_teacher", teacher, best_t),
-                               ("ts_student", student, best_s)], epoch)
+                               ("ts_student", student, best_s)], epoch,
+                        tuning=args.tune)
 
 
 def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
@@ -89,7 +90,8 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
                                sup_w=sup_w, threshold=threshold,
                                epochs=epochs, rng=rng, ckpt_s=ckpt_s,
                                ckpt_t=ckpt_t, start_epoch=start_epoch,
-                               best_s=best_s, best_t=best_t)
+                               best_s=best_s, best_t=best_t,
+                               save_model=save_model)
 
     from semisupervisedobjectdetection_tpu.data.prefetch import (
         prefetch_train_batches,
@@ -207,7 +209,7 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
 def _ema_train_loop(args, dcfg, tc, loaders, cfg, logger, *, teacher,
                     student, sup_w, threshold, epochs, rng, ckpt_s,
                     ckpt_t, start_epoch=0, best_s=float("inf"),
-                    best_t=float("inf")):
+                    best_t=float("inf"), save_model=True):
     """The flagship EMA (mean-teacher) loop (train/ema.py): per step, ONE
     fused (unlabeled, labeled) batch-pair update — no-grad teacher
     forwards, pseudo thresholding + denoising, student fwd/bwd, per-step
@@ -493,24 +495,21 @@ def main(argv=None):
         grid = product_grid([5e-7], [3e-5], [0.8, 0.7],
                             [0.8, 0.85, 0.87], shuffle=True,
                             seed=args.seed)
-        best, best_pt = float("inf"), None
-        for t_lr, s_lr, w, thr in grid:
-            plog = common.tune_point_logger(args, f"w{w}_thr{thr}")
-            try:
-                loss = train_run(args, dcfg, tc, loaders, cfg, plog,
-                                 teacher_lr=t_lr, student_lr=s_lr,
-                                 supervise_weight=w, threshold=thr,
-                                 epochs=max(tc.epochs // 5, 1))
-            finally:
-                plog.close()
-            print(f"w={w} thr={thr}: best eval {loss:.4f}")
-            if loss < best:
-                best, best_pt = loss, (t_lr, s_lr, w, thr)
-        if best_pt is None:
-            print(f"tune: no grid point produced a finite eval loss "
-                  f"({len(grid)} points tried)")
-        else:
-            print(f"best grid point: {best_pt} ({best:.4f})")
+
+        def point(pt, plog):
+            t_lr, s_lr, w, thr = pt
+            return train_run(args, dcfg, tc, loaders, cfg, plog,
+                             teacher_lr=t_lr, student_lr=s_lr,
+                             supervise_weight=w, threshold=thr,
+                             epochs=max(tc.epochs // 5, 1))
+
+        # tag carries EVERY grid axis — singleton lr axes included — so
+        # widening the grid can never alias two points' CSVs
+        common.sweep_grid(
+            args, grid, point,
+            tag_of=lambda p: f"tlr{p[0]}_slr{p[1]}_w{p[2]}_thr{p[3]}",
+            show_of=lambda p: (f"t_lr={p[0]} s_lr={p[1]} w={p[2]} "
+                               f"thr={p[3]}"))
     else:
         train_run(args, dcfg, tc, loaders, cfg, logger,
                   teacher_lr=args.teacher_lr, student_lr=args.student_lr,

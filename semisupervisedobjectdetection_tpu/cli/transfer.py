@@ -72,32 +72,26 @@ def main(argv=None):
     tokens = tuple(int(x) for x in args.prompt_tokens.split(","))
 
     if args.tune:
-        lrs = [float(x) for x in args.tune_lrs.split(",")]
-        toks = [int(x) for x in args.tune_tokens.split(",")]
+        lrs = [float(x) for x in args.tune_lrs.split(",") if x]
+        toks = [int(x) for x in args.tune_tokens.split(",") if x != ""]
         grid = product_grid(lrs, [tuple(frozen), (0, 1, 2)],
                             toks, shuffle=True, seed=args.seed)
-        best, best_pt = float("inf"), None
-        for lr, fz, tok in grid:
+
+        def point(pt, plog):
+            lr, fz, tok = pt
             model = build_model(args, tc, cfg, list(fz), (tok,) * 4,
                                 lr=lr)
-            plog = common.tune_point_logger(
-                args, f"lr{lr}_fz{'-'.join(map(str, fz))}_tok{tok}")
-            try:
-                loss = train_loop(
-                    model, loaders, dcfg,
-                    tc.replace(epochs=max(tc.epochs // 5, 1)),
-                    args, plog, save_model=False)
-            finally:
-                plog.close()
-            print(f"lr={lr} frozen={fz} tokens={tok}: {loss:.4f}")
-            if loss < best:
-                best, best_pt = loss, (lr, fz, tok)
-        if best_pt is None:
-            print(f"tune: no grid point produced a finite eval loss "
-                  f"({len(grid)} points tried)")
-        else:
-            print(f"best: lr={best_pt[0]} frozen={best_pt[1]} "
-                  f"tokens={best_pt[2]} loss={best:.4f}")
+            return train_loop(
+                model, loaders, dcfg,
+                tc.replace(epochs=max(tc.epochs // 5, 1)),
+                args, plog, save_model=False)
+
+        common.sweep_grid(
+            args, grid, point,
+            tag_of=lambda p: (f"lr{p[0]}_fz{'-'.join(map(str, p[1]))}"
+                              f"_tok{p[2]}"),
+            show_of=lambda p: f"lr={p[0]} frozen={p[1]} tokens={p[2]}",
+            empty_hint="check --tune-lrs / --tune-tokens")
         return
 
     model = build_model(args, tc, cfg, frozen, tokens,

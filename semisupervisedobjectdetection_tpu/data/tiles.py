@@ -200,10 +200,11 @@ class TileDataset:
     def __getitem__(self, idx: int):
         if self.cache is None:
             return self._load_item(idx)
-        # keyed by the image path (+ the mode flags that change the decoded
-        # value for the same file), so datasets sharing one cache object
-        # after split_dataset's shallow copy can't collide
-        key = (self.image_path(idx), self.canvas, self.has_mask,
+        # keyed by the image path (+ the mask dir and the mode flags that
+        # change the decoded value for the same file), so datasets sharing
+        # one cache object after split_dataset's shallow copy can't collide
+        key = (self.image_path(idx), self.canvas,
+               self.mask_dir if self.has_mask else None,
                self.book, self.pair)
         hit = self.cache.get(key)
         if hit is not None:

@@ -156,6 +156,12 @@ def test_ema_mode_cli_smoke(tmp_path):
     assert (tmp_path / "m.csv").exists()
     text = (tmp_path / "m.csv").read_text()
     assert "eval_loss" in text and len(text.splitlines()) >= 2
+    # epoch 0 always improves on best_s=inf, so the best-student
+    # checkpoint must land (regression: save_model was once unbound in
+    # _ema_train_loop and this very path raised NameError)
+    ck = tmp_path / "ck"
+    assert ck.exists() and any(
+        p.name.startswith("ts_student") for p in ck.iterdir())
 
 
 def test_ema_mode_cli_empty_pseudo_loader(tmp_path, monkeypatch):

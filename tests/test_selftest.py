@@ -16,8 +16,10 @@ import sys
 def test_selftest_cli_passes():
     env = dict(os.environ)
     # The self-test manages its own platform (--cpu) and compile cache;
-    # drop the suite's overrides so we exercise the user-facing defaults.
-    env.pop("XLA_FLAGS", None)
+    # a stale harness device-count flag must be overridden by --cpu N
+    # (regression: a substring check once skipped the append, so the
+    # multi-device check silently never ran).
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     env.pop("JAX_COMPILATION_CACHE_DIR", None)
     out = subprocess.run(
         [sys.executable, "-m", "semisupervisedobjectdetection_tpu",

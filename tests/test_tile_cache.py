@@ -94,6 +94,35 @@ def test_cache_mb_joins_one_shared_budget(tile_root):
     assert not (img_a is img_b)
 
 
+def test_mask_dir_is_part_of_the_cache_key(tile_root, tmp_path):
+    """Two cache-sharing datasets over the SAME images but different mask
+    directories must not serve each other's masks (regression: the key
+    once omitted mask_dir, so the second dataset silently got labels
+    decoded from the first's directory)."""
+    import shutil
+
+    write_synthetic_dataset(str(tile_root / "t2"), str(tmp_path / "m2"),
+                            n=6, size=96, seed=7)
+    # same image dir as ds_a, different mask dir (seed-7 masks copied in
+    # under the seed-0 ids so the ids line up)
+    (tile_root / "m_alt").mkdir()
+    for f, orig in zip(sorted((tmp_path / "m2").iterdir()),
+                       sorted((tile_root / "m").iterdir())):
+        shutil.copy(f, tile_root / "m_alt" / orig.name)
+
+    cache = _DecodedCache(64)
+    ds_a = TileDataset(str(tile_root / "t"), str(tile_root / "m"),
+                       canvas=96, cache=cache)
+    ds_b = TileDataset(str(tile_root / "t"), str(tile_root / "m_alt"),
+                       canvas=96, cache=cache)
+    _, mask_a = ds_a[0]
+    _, mask_b = ds_b[0]                       # must MISS, not hit a's entry
+    assert mask_b is not mask_a
+    cold = TileDataset(str(tile_root / "t"), str(tile_root / "m_alt"),
+                       canvas=96)
+    np.testing.assert_array_equal(mask_b, cold[0][1])
+
+
 def test_split_dataset_shares_cache_without_collisions(tile_root):
     ds = _cached_ds(tile_root)
     train, val = split_dataset(ds, frac=0.5, seed=0)

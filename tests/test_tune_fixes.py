@@ -68,7 +68,8 @@ def test_run_tune_grid_per_point_csv_and_epochs(tmp_path):
 def test_preempt_exit_under_tune_saves_nothing(tmp_path, capsys):
     args = _tune_args(tmp_path)
     with pytest.raises(SystemExit) as e:
-        common.preempt_exit(args, [("segformer", object(), 1.0)], epoch=3)
+        common.preempt_exit(args, [("segformer", object(), 1.0)], epoch=3,
+                            tuning=True)
     assert e.value.code == 0
     out = capsys.readouterr().out
     assert "tune grid point state NOT saved" in out
@@ -87,7 +88,7 @@ def test_supervised_tune_lr_writes_no_checkpoints(tmp_path, capsys):
         "--epochs", "1", "--checkpoint-dir", ckdir,
         "--metrics-csv", csv, "--tune-lr", "1e-3,1e-5"])
     out = capsys.readouterr().out
-    assert "best lr:" in out
+    assert "best: lr=" in out
     assert not os.path.exists(ckdir) or not os.listdir(ckdir)
     # per-point CSVs, not one interleaved file
     made = sorted(os.listdir(tmp_path))
