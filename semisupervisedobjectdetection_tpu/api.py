@@ -389,11 +389,21 @@ class SegFormerModel:
         )
         save_state(path, self.state)
 
-    def load(self, path: str) -> None:
+    def load(self, path: str, *, full_state: bool = False) -> None:
+        """Warm-start load (the reference ctor's `.pth` load,
+        `SegFormerModel.py:21-30`): weights+BN stats from the checkpoint,
+        fresh Adam, scheduler at epoch 0 — the checkpoint's saved epoch
+        would otherwise silently decay the configured lr
+        (`base_lr * gamma^epoch`, train/state.py). `full_state=True`
+        additionally adopts the optimizer state and epoch (resume
+        semantics; the `--resume` CLI paths use `load_last` instead)."""
         from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
             restore_state,
         )
-        self.state = restore_state(path, self.state)
+        self.state = restore_state(
+            path, self.state,
+            load_opt_state=None if full_state else False,
+            load_epoch=full_state)
         print("Pretrained model loaded")
 
     def export_hf(self, path: str) -> None:

@@ -44,9 +44,6 @@ def _merge_restore(template_tree, restored_tree, path=()):
     classifier-slice surgery (`SegFormerModel.py:24-28`): a checkpointed
     multi-channel classifier head restores into a 1-channel model by
     taking output channel 0."""
-    import jax
-    import numpy as np
-
     if isinstance(template_tree, dict):
         out = {}
         for k, v in template_tree.items():
@@ -80,8 +77,6 @@ def _place_like(template_tree, tree):
     sharding instead makes the restored state indistinguishable from the
     freshly-sharded one, on any topology. Single-device templates make
     this a plain device placement."""
-    import jax
-
     def place(t, r):
         if isinstance(t, jax.Array) and getattr(r, "shape", None) == t.shape:
             return jax.device_put(r, t.sharding)
@@ -91,19 +86,23 @@ def _place_like(template_tree, tree):
 
 
 def restore_state(path: str, template: TrainState,
-                  load_opt_state: Optional[bool] = None) -> TrainState:
+                  load_opt_state: Optional[bool] = None,
+                  load_epoch: bool = True) -> TrainState:
     """Restore into the structure of `template` (which supplies tx/config
     AND the target sharding of every leaf — see `_place_like`).
 
     Partial/mismatched loads follow the reference's strict=False behavior:
     missing or shape-incompatible leaves keep the template's values, and a
     multi-channel classifier restores into num_labels=1 via channel-0
-    slicing. The optimizer state is only adopted when its structure matches
-    (warm starts across num_labels changes restart optimization, like the
-    reference — SURVEY.md §5 checkpoint row).
+    slicing. By default the optimizer state is adopted when its structure
+    matches and the saved epoch (which drives the exponential lr schedule,
+    train/state.py) is restored — the `--resume` semantics. WARM STARTS
+    (`--pretrain-weight`) must pass `load_opt_state=False, load_epoch=False`
+    to get the reference's transfer semantics instead: params+BN stats from
+    the checkpoint, fresh Adam and a scheduler starting at epoch 0
+    (`SegFormerModel.py:21-37` loads the state dict, then CONSTRUCTS the
+    optimizer and ExponentialLR).
     """
-    import jax
-
     path = os.path.abspath(path)
     restored = _ckptr().restore(path)
 
@@ -114,9 +113,12 @@ def restore_state(path: str, template: TrainState,
     new = template.replace(
         params=_place_like(template.params, params),
         batch_stats=_place_like(template.batch_stats, batch_stats),
-        epoch=_place_like(template.epoch,
-                          restored.get("epoch", template.epoch)),
     )
+    if load_epoch:
+        new = new.replace(epoch=_place_like(
+            template.epoch, restored.get("epoch", template.epoch)))
+    if load_opt_state is False:
+        return new
     try:
         t_leaves = jax.tree.leaves(template.opt_state)
         r_leaves = jax.tree.leaves(restored.get("opt_state"))
@@ -158,7 +160,10 @@ class BestCheckpointer:
 
     def maybe_save(self, state: TrainState, epoch: int, train_loss: float,
                    eval_loss: float, fps: float = 0.0) -> Optional[str]:
-        if eval_loss >= self.best_loss:
+        # NaN-robust gate: `not (x < best)` rejects NaN, where the naive
+        # `x >= best` would save a NaN epoch as "best" and then poison
+        # every later comparison (anything >= NaN is False)
+        if not (eval_loss < self.best_loss):
             return None
         self.best_loss = eval_loss
         name = best_checkpoint_name(self.prefix, epoch, train_loss,

@@ -189,7 +189,10 @@ def _build_state(args, dcfg, tc, cfg):
         from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
             restore_state,
         )
-        state = restore_state(args.pretrain_weight, state)
+        # warm start: weights only — fresh Adam, scheduler at epoch 0
+        # (reference ctor loads the .pth THEN builds optimizer+scheduler)
+        state = restore_state(args.pretrain_weight, state,
+                              load_opt_state=False, load_epoch=False)
         print("Pretrained model loaded")
     return state
 

@@ -58,8 +58,13 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
         from semisupervisedobjectdetection_tpu.checkpoint.orbax_io import (
             restore_state,
         )
-        teacher = restore_state(args.pretrain_weight, teacher)
-        student = restore_state(args.pretrain_weight, student)
+        # warm start = reference transfer semantics: weights+BN stats from
+        # the checkpoint, FRESH Adam and a scheduler at epoch 0 (the
+        # checkpoint's epoch would silently decay the requested lrs)
+        teacher = restore_state(args.pretrain_weight, teacher,
+                                load_opt_state=False, load_epoch=False)
+        student = restore_state(args.pretrain_weight, student,
+                                load_opt_state=False, load_epoch=False)
         print("warm-started teacher+student from", args.pretrain_weight)
 
     ckpt_s = BestCheckpointer(args.checkpoint_dir, "ts_student")

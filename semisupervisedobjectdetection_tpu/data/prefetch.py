@@ -32,6 +32,15 @@ from typing import Any, Callable, Iterable, Iterator
 _SENTINEL = object()
 
 
+def _as_args(item) -> tuple:
+    """Normalize a loader item to a `stage_fn(idx, *args)` argument tuple.
+    Shared by the worker and the depth<1 inline paths so the documented
+    "depth=0 and depth>=1 are bit-identical" contract holds for ANY item
+    kind: tuple/list collates unpack to positional args, a bare array is
+    one arg (not iterated along axis 0)."""
+    return tuple(item) if isinstance(item, (tuple, list)) else (item,)
+
+
 class DevicePrefetcher:
     """Wrap a re-iterable host loader with `depth` batches of device-side
     lookahead staged on a background thread."""
@@ -56,9 +65,7 @@ class DevicePrefetcher:
                 for idx, item in enumerate(self.loader):
                     if stop.is_set():
                         return
-                    if not isinstance(item, tuple):
-                        item = (item,)
-                    staged = self.stage_fn(idx, *item)
+                    staged = self.stage_fn(idx, *_as_args(item))
                     # Bounded put that still notices a consumer that broke
                     # out of the loop (stop set + queue full would deadlock
                     # a plain blocking put).
@@ -95,6 +102,11 @@ class DevicePrefetcher:
                     q.get_nowait()
                 except queue.Empty:
                     break
+            # Bounded join: an early break (e.g. preemption) may leave the
+            # worker mid-stage_fn (jit dispatch / H2D in native code);
+            # exiting the interpreter under it risks a teardown crash that
+            # turns a clean preemption exit 0 into an apparent segfault.
+            t.join(timeout=10.0)
 
 
 def prefetch_train_batches(loader: Iterable, rng, dcfg, depth: int = 1):
@@ -116,7 +128,7 @@ def prefetch_train_batches(loader: Iterable, rng, dcfg, depth: int = 1):
         return device_train_batch(aug_rng, images_u8, masks_u8, dcfg)
 
     if depth < 1:  # prefetch disabled: stage inline, same rng derivation
-        return (stage(i, *item) for i, item in enumerate(loader))
+        return (stage(i, *_as_args(item)) for i, item in enumerate(loader))
     return iter(DevicePrefetcher(loader, stage, depth=depth))
 
 
@@ -162,5 +174,5 @@ def prefetch_paired_batches(train_loader: Iterable, pseudo_loader: Iterable,
 
     pairs = paired_host_batches(train_loader, pseudo_loader)
     if depth < 1:
-        return (stage(i, *item) for i, item in enumerate(pairs))
+        return (stage(i, *_as_args(item)) for i, item in enumerate(pairs))
     return iter(DevicePrefetcher(pairs, stage, depth=depth))

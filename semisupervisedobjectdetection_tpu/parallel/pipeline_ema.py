@@ -475,6 +475,15 @@ class DataParallelEmaPipelinedTrainer:
             raise ValueError(
                 f"batches ({bu} unlabeled, {bl} labeled) not divisible "
                 f"by dp*micro={self.dp}*{micro}")
+        if unlabeled.shape[1:] != images.shape[1:]:
+            # same guard as EmaPipelinedTrainer.step — _replica_pass would
+            # otherwise fail deep inside the wavefront concat, after the
+            # (long) compile, with an unactionable shape error
+            raise ValueError(
+                f"unlabeled {unlabeled.shape[1:]} and labeled "
+                f"{images.shape[1:]} spatial shapes must match for the "
+                f"pipelined EMA step (use the fused single-device step "
+                f"for mixed-shape batches)")
         su, sl = bu // self.dp, bl // self.dp
         pt = self.pt
         n = pt.cfg.num_stages

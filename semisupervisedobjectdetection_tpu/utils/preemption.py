@@ -35,15 +35,23 @@ import signal
 import threading
 
 _STOP = threading.Event()
-_INFO = {"signal": None}
+_INFO = {"signal": None, "signals_seen": 0}
 _PREV: dict = {}
 
 
 def _handler(signum, frame):
-    if _STOP.is_set():
+    # Escalation counts REAL signals only: a programmatic request_stop()
+    # must not make the first actual SIGTERM take the hard-kill path and
+    # skip the checkpoint save.
+    _INFO["signals_seen"] += 1
+    if _INFO["signals_seen"] > 1:
         # Second signal: restore the previous disposition and re-deliver,
-        # so a wedged checkpoint write can still be killed.
+        # so a wedged checkpoint write can still be killed. A SIG_IGN
+        # previous disposition falls back to SIG_DFL — re-delivering an
+        # ignored signal would make the escape hatch a permanent no-op.
         prev = _PREV.get(signum, signal.SIG_DFL)
+        if prev in (signal.SIG_IGN, None):
+            prev = signal.SIG_DFL
         try:
             signal.signal(signum, prev)
         except (TypeError, ValueError):
@@ -52,9 +60,12 @@ def _handler(signum, frame):
         return
     _INFO["signal"] = signal.Signals(signum).name
     _STOP.set()
-    print(f"\n{_INFO['signal']} received: finishing the current batch, "
-          "checkpointing, then exiting cleanly — signal again to kill "
-          "immediately", flush=True)
+    # os.write is async-signal-safe; print() into the buffered stdout the
+    # interrupted main thread may be mid-write in can raise
+    # "RuntimeError: reentrant call" and crash the run before the save.
+    os.write(1, (f"\n{_INFO['signal']} received: finishing the current "
+                 "batch, checkpointing, then exiting cleanly — signal "
+                 "again to kill immediately\n").encode())
 
 
 def install(signals=(signal.SIGTERM, signal.SIGINT)) -> bool:
@@ -85,6 +96,7 @@ def reset() -> None:
     """Clear the stop flag (tests / multi-run drivers)."""
     _STOP.clear()
     _INFO["signal"] = None
+    _INFO["signals_seen"] = 0
 
 
 def stop_requested() -> bool:

@@ -184,6 +184,16 @@ def check_dp_matches_fused_step():
     dpt = DataParallelEmaPipelinedTrainer(
         TINY, variables, variables, TrainConfig(reference_quirks=False),
         dp=2, confident_threshold=0.0)
+
+    # mixed spatial shapes must fail fast (same guard as the single
+    # pipeline), not deep inside the wavefront concat after a compile
+    try:
+        dpt.step(u[:, : u.shape[1] // 2], imgs, masks, SUP_W, DECAY,
+                 micro=1)
+        raise AssertionError("mixed-shape batches should be rejected")
+    except ValueError as e:
+        assert "spatial shapes must match" in str(e)
+
     out = dpt.step(u, imgs, masks, SUP_W, DECAY, micro=1)
 
     np.testing.assert_allclose(out.student_loss_total,
