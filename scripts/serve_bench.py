@@ -61,9 +61,11 @@ def drive(base: str, payloads, n_clients: int, reqs_per_client: int,
     wall = time.monotonic() - t0
     n = n_clients * reqs_per_client
     lat.sort()
+    def q(p):
+        return lat[min(int(p * (len(lat) - 1)), len(lat) - 1)] * 1e3
+
     return dict(img_per_s=n / wall, wall_s=wall, n=n,
-                p50_ms=lat[len(lat) // 2] * 1e3, p99_ms=lat[-max(
-                    len(lat) // 100, 1)] * 1e3)
+                p50_ms=q(0.50), p99_ms=q(0.99))
 
 
 def main() -> None:

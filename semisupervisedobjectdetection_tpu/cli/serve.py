@@ -223,8 +223,9 @@ class InferenceServer:
                     if "=" in kv:
                         k, _, v = kv.partition("=")
                         params[k] = v
+                # media types are case-insensitive (RFC 9110 §8.3.1)
                 raw_input = self.headers.get(
-                    "Content-Type", "").split(";")[0].strip() \
+                    "Content-Type", "").split(";")[0].strip().lower() \
                     == "application/octet-stream"
                 try:
                     length = int(self.headers.get("Content-Length", 0))
@@ -265,12 +266,21 @@ class InferenceServer:
                     return
                 # raw input defaults to raw output (no codec either way)
                 fmt = params.get("format", "raw" if raw_input else "png")
+                mask_h = mask_w = server.img_size
                 if fmt == "raw":
-                    # binarized uint8 mask (img_size^2 bytes, 0/255),
-                    # zero encode cost
+                    # binarized uint8 mask (0/255), zero encode cost.
+                    # Like the png path, a codec-decoded input gets its
+                    # mask back at the ORIGINAL image size (raw-tensor
+                    # inputs are already exactly img_size, so this is
+                    # free on the fast path); X-Mask-Shape names the
+                    # actual dims either way.
                     thr = float(params.get("threshold", 0.5))
-                    body = ((np.asarray(mask) >= thr)
-                            .astype(np.uint8) * 255).tobytes()
+                    m = (np.asarray(mask) >= thr).astype(np.uint8) * 255
+                    if (orig_h, orig_w) != m.shape:
+                        m = np.asarray(Image.fromarray(m, mode="L").resize(
+                            (orig_w, orig_h), Image.NEAREST))
+                    mask_h, mask_w = m.shape
+                    body = m.tobytes()
                     ctype = "application/octet-stream"
                 elif fmt == "npy":
                     buf = io.BytesIO()
@@ -289,6 +299,11 @@ class InferenceServer:
                 self.send_response(200)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
+                if fmt == "raw":
+                    # raw bytes carry no shape — name it (npy and png
+                    # are self-describing)
+                    self.send_header("X-Mask-Shape",
+                                     f"{mask_h}x{mask_w}")
                 self.end_headers()
                 self.wfile.write(body)
 

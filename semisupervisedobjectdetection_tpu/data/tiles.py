@@ -56,17 +56,25 @@ class _DecodedCache:
         self.hits = 0
         self.misses = 0
 
-    def get(self, key):
+    def get(self, key, sig=None):
+        """Cached value for `key`, or None. `sig` is the keyed file's
+        CURRENT `_file_sig`: an entry stored under a different sig is
+        stale (the file was rewritten in-process) and misses, forcing a
+        re-decode. sig=None (file vanished, or caller doesn't track
+        identity) serves whatever is cached — tile files being deleted
+        mid-run must not break epoch 2+ (test_tile_cache.py documents
+        that the cache makes later epochs filesystem-free)."""
         with self._lock:
             hit = self._items.get(key)
-            if hit is None:
+            if hit is None or (sig is not None and hit[2] is not None
+                               and hit[2] != sig):
                 self.misses += 1
                 return None
             self._items.move_to_end(key)
             self.hits += 1
             return hit[0]
 
-    def put(self, key, value) -> None:
+    def put(self, key, value, sig=None) -> None:
         nbytes = sum(a.nbytes for a in value if a is not None)
         if nbytes > self.budget:
             return
@@ -74,13 +82,34 @@ class _DecodedCache:
             if a is not None:
                 a.flags.writeable = False
         with self._lock:
-            if key in self._items:
-                return
+            old = self._items.pop(key, None)   # replace a stale entry
+            if old is not None:
+                self._bytes -= old[1]
             while self._bytes + nbytes > self.budget and self._items:
-                _, (_, old) = self._items.popitem(last=False)
-                self._bytes -= old
-            self._items[key] = (value, nbytes)
+                _, (_, old_b, _) = self._items.popitem(last=False)
+                self._bytes -= old_b
+            self._items[key] = (value, nbytes, sig)
             self._bytes += nbytes
+
+    def set_budget(self, budget_mb: float) -> None:
+        """Adopt a new byte budget, evicting LRU entries if it shrank —
+        an explicit lower `--cache-tiles` must actually cap RAM, not be
+        silently overridden by an earlier larger run in the process."""
+        with self._lock:
+            self.budget = int(budget_mb * 2 ** 20)
+            while self._bytes > self.budget and self._items:
+                _, (_, old_b, _) = self._items.popitem(last=False)
+                self._bytes -= old_b
+
+
+def _file_sig(path: str):
+    """(mtime_ns, size) identity of a file, or None if unreadable — part
+    of the decoded-tile cache key so in-process rewrites invalidate."""
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
 
 
 _SHARED_CACHE: Optional[_DecodedCache] = None
@@ -93,13 +122,14 @@ def shared_cache(budget_mb: float) -> _DecodedCache:
     `--cache-tiles MB` promises a single RAM budget — per-dataset caches
     would multiply it by the dataset count and OOM the small hosts the
     flag targets. Path-keyed entries make sharing collision-free; the
-    largest requested budget wins."""
+    most recent requested budget wins (evicting down when it shrank, so
+    an explicit lower `--cache-tiles` later in the process actually caps
+    RAM instead of being overridden by an earlier larger run)."""
     global _SHARED_CACHE
     if _SHARED_CACHE is None:
         _SHARED_CACHE = _DecodedCache(budget_mb)
     else:
-        _SHARED_CACHE.budget = max(_SHARED_CACHE.budget,
-                                   int(budget_mb * 2 ** 20))
+        _SHARED_CACHE.set_budget(budget_mb)
     return _SHARED_CACHE
 
 
@@ -202,15 +232,22 @@ class TileDataset:
             return self._load_item(idx)
         # keyed by the image path (+ the mask dir and the mode flags that
         # change the decoded value for the same file), so datasets sharing
-        # one cache object after split_dataset's shallow copy can't collide
+        # one cache object after split_dataset's shallow copy can't
+        # collide. The file's (mtime, size) identity rides ALONGSIDE the
+        # entry: a tile rewritten at the same path in-process (tune
+        # sweeps, notebooks regenerating tiles) re-decodes instead of
+        # serving stale pixels (the stat is ~µs vs the ~15ms decode),
+        # while a DELETED file still serves from cache — later epochs
+        # stay filesystem-free (test_tile_cache.py).
         key = (self.image_path(idx), self.canvas,
                self.mask_dir if self.has_mask else None,
                self.book, self.pair)
-        hit = self.cache.get(key)
+        sig = _file_sig(self.image_path(idx))
+        hit = self.cache.get(key, sig=sig)
         if hit is not None:
             return hit
         item = self._load_item(idx)
-        self.cache.put(key, item)
+        self.cache.put(key, item, sig=sig)
         return item
 
     def _load_item(self, idx: int):

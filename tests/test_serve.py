@@ -221,3 +221,41 @@ def test_stop_drains_queued_requests():
     # post-drain submits are refused, not silently queued forever
     with pytest.raises(RuntimeError):
         srv.submit(np.zeros((SIZE, SIZE, 3), np.float32), timeout=1.0)
+
+
+def test_raw_content_type_is_case_insensitive(server):
+    """Media types are case-insensitive (RFC 9110 §8.3.1): an oddly-cased
+    octet-stream header must still route to the raw-tensor path, not fall
+    through to PIL (which would 400 on the raw bytes)."""
+    _, base = server
+    rng = np.random.default_rng(11)
+    img_u8 = rng.integers(0, 255, (SIZE, SIZE, 3), dtype=np.uint8)
+    req = urllib.request.Request(
+        base + "/predict", data=img_u8.tobytes(), method="POST",
+        headers={"Content-Type": "Application/Octet-Stream"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.status == 200
+        assert r.headers.get("X-Mask-Shape") == f"{SIZE}x{SIZE}"
+        body = r.read()
+    assert len(body) == SIZE * SIZE
+
+
+def test_png_input_with_raw_format_returns_original_size(server):
+    """?format=raw on a codec-decoded input must (like the png path)
+    return the mask at the ORIGINAL image size, with X-Mask-Shape naming
+    the dims — not an undocumented img_size^2 blob."""
+    _, base = server
+    h, w = 40, 72                                    # non-square, != SIZE
+    req = urllib.request.Request(
+        base + "/predict?format=raw", data=_png_bytes(h, w, seed=3),
+        method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.status == 200
+        assert r.headers.get("X-Mask-Shape") == f"{h}x{w}"
+        body = r.read()
+    mask = np.frombuffer(body, np.uint8).reshape(h, w)
+    assert set(np.unique(mask)) <= {0, 255}
+    # consistent with the png path on the same payload
+    _, _, png_body = _post(base + "/predict", _png_bytes(h, w, seed=3))
+    png_mask = np.asarray(Image.open(io.BytesIO(png_body)))
+    np.testing.assert_array_equal(mask, png_mask)

@@ -164,3 +164,46 @@ def test_cli_flag_routes_to_python_loader(tile_root):
     assert isinstance(loader, TileLoader)            # native path bypassed
     assert loader.dataset.cache is tiles_mod._SHARED_CACHE
     assert loader.dataset.cache.budget >= 32 * 2 ** 20
+
+
+def test_rewritten_file_invalidates_cache_entry(tile_root):
+    """A tile rewritten at the same path in-process (tune sweeps,
+    notebooks regenerating tiles) must be re-decoded, not served stale —
+    while DELETED files still serve from cache (the filesystem-free
+    epoch-2 guarantee above)."""
+    import os
+    import shutil
+
+    ds = _cached_ds(tile_root)
+    img_old, _ = ds[0]
+    # rewrite image 0 with image 1's bytes (bump mtime in case the fs
+    # granularity would otherwise alias the signatures)
+    p0, p1 = ds.image_path(0), ds.image_path(1)
+    shutil.copy(p1, p0)
+    st = os.stat(p0)
+    os.utime(p0, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    img_new, _ = ds[0]
+    assert img_new is not img_old
+    np.testing.assert_array_equal(img_new, ds[1][0])
+    assert ds[0][0] is img_new                       # re-cached under new sig
+
+
+def test_shared_budget_shrinks_on_explicit_lower_request(tile_root):
+    """A later, explicitly lower --cache-tiles in the same process must
+    cap RAM (evicting down), not be overridden by an earlier larger run."""
+    tiles_mod._SHARED_CACHE = None                   # isolate from suite order
+    try:
+        big = TileDataset(str(tile_root / "t"), str(tile_root / "m"),
+                          canvas=96, cache_mb=64)
+        for i in range(len(big)):
+            big[i]
+        assert big.cache._bytes > 0
+        item_mb = (96 * 96 * 3 + 96 * 96) / 2 ** 20
+        small = TileDataset(str(tile_root / "t"), str(tile_root / "m"),
+                            canvas=96, cache_mb=2.5 * item_mb)
+        assert small.cache is big.cache
+        assert small.cache.budget == int(2.5 * item_mb * 2 ** 20)
+        assert small.cache._bytes <= small.cache.budget
+        assert len(small.cache._items) == 2          # evicted down to fit
+    finally:
+        tiles_mod._SHARED_CACHE = None
