@@ -50,11 +50,11 @@ def main(argv=None):
                         "cannot resume (optimizer state is never saved)")
     args = p.parse_args(argv)
     dcfg, tc = common.configs_from_args(args)
-    common.warn_grad_accum_ignored(args, "CNN baseline loop")
     dcfg = common.ensure_data(args, dcfg)
     common.warn_perf_unsupported(args, 'baseline_cnn')
     common.warn_parallel_unsupported(args, 'baseline_cnn')
     loaders = common.make_loaders(dcfg, args.seed)
+    common.check_grad_accum(args, loaders["train"])
     logger = MetricLogger(args.metrics_csv)
     depths = tuple(int(x) for x in args.encoder_depths.split(","))
     enc_kw = dict(encoder_depths=depths, groups=args.encoder_groups,
@@ -113,7 +113,7 @@ def main(argv=None):
                 d_rng = jax.random.fold_in(step_rng_e, bi)
                 state, loss, _ = cnn_train_step(
                     state, imgs, masks, d_rng, arch, dtype=args.dtype,
-                    **enc_kw)
+                    accum=max(args.grad_accum, 1), **enc_kw)
                 tl.append(loss)
                 if preemption.stop_requested():
                     break

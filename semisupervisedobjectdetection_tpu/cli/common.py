@@ -425,7 +425,8 @@ def warn_grad_accum_ignored(args, loop_name: str) -> None:
     if getattr(args, "grad_accum", 1) > 1:
         print(f"WARNING: --grad-accum is not implemented for the "
               f"{loop_name} and is ignored (it applies to the "
-              f"supervised/autoencoder/transfer CLIs and the EMA loop)")
+              f"supervised/autoencoder/transfer/teacher-student CLIs "
+              f"and the EMA loop)")
 
 
 def make_loaders(dcfg: DataConfig, seed: int = 0,

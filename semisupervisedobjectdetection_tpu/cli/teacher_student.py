@@ -122,7 +122,8 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
                                            jnp.asarray(True), cfg,
                                            threshold=threshold,
                                            train_mode=train_mode,
-                                           rng=step_rng)
+                                           rng=step_rng,
+                                           accum=max(args.grad_accum, 1))
             else:
                 out = ts.pseudo_label_infer_step(
                     teacher, imgs, cfg, threshold=threshold,
@@ -148,7 +149,8 @@ def train_run(args, dcfg, tc, loaders, cfg, logger, *, teacher_lr,
             lout = ts.labeled_step(teacher, student, imgs, masks, sup_w,
                                    cfg, denoise_label=not args.no_denoise,
                                    threshold=threshold,
-                                   train_mode=train_mode, rng=step_rng)
+                                   train_mode=train_mode, rng=step_rng,
+                                   accum=max(args.grad_accum, 1))
             teacher, student = lout.teacher_state, lout.student_state
             s_losses.append(lout.student_loss_total)
             t_losses.append(lout.teacher_loss)
@@ -486,8 +488,11 @@ def main(argv=None):
         common.check_grad_accum(args, loaders["pseudo"],
                                 dp_pp_capable=True)
     else:
-        common.warn_grad_accum_ignored(
-            args, "two-gradient-model teacher-student loop")
+        # two-gradient-model loop: phase B microbatches the labeled batch
+        # (both models' grads accumulated in one scan), phase A the
+        # unlabeled batch on teacher-update epochs
+        common.check_grad_accum(args, loaders["train"])
+        common.check_grad_accum(args, loaders["pseudo"])
     cfg = MIT_VARIANTS[args.variant](dtype=args.dtype)
     cfg = common.apply_perf_preset(cfg, args)
     logger = MetricLogger(args.metrics_csv)

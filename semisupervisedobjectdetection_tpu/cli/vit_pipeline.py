@@ -49,7 +49,6 @@ def main(argv=None):
                         "never saved)")
     args = p.parse_args(argv)
     dcfg, tc = common.configs_from_args(args)
-    common.warn_grad_accum_ignored(args, "ViT pipeline steps")
     # ViT needs img size divisible by the patch size
     size = (dcfg.img_h // args.patch_size) * args.patch_size
     dcfg = dcfg.replace(img_h=size, img_w=size)
@@ -60,6 +59,10 @@ def main(argv=None):
     flags = ("train", "eval") if args.mode == "seg" else (
         "train", "eval", "unlabeled")
     loaders = common.make_loaders(dcfg, args.seed, flags=flags)
+    common.check_grad_accum(args, loaders["train"])
+    if "unlabeled" in loaders:
+        common.check_grad_accum(args, loaders["unlabeled"])
+    accum = max(args.grad_accum, 1)
     logger = MetricLogger(args.metrics_csv)
 
     out_chans = 3 if args.mode == "ae" else 1
@@ -131,7 +134,8 @@ def main(argv=None):
             for imgs, _ in prefetch_train_batches(
                     loaders["unlabeled"], epoch_rng, dcfg, depth=depth):
                 state, loss, _ = pseudo_step(state, imgs,
-                                             jnp.asarray(True))
+                                             jnp.asarray(True),
+                                             accum=accum)
                 if preemption.stop_requested():
                     break
         rng, epoch_rng = jax.random.split(rng)
@@ -140,12 +144,14 @@ def main(argv=None):
         for imgs, masks in prefetch_train_batches(train_src, epoch_rng,
                                                   dcfg, depth=depth):
             if args.mode == "ae":
-                state, loss, _ = ae_train(state, imgs)
+                state, loss, _ = ae_train(state, imgs, accum=accum)
             elif args.mode == "semi":
-                state, student, loss, _ = ts_labeled(state, student, imgs,
-                                                     masks, sup_w)
+                state, student, loss, _ = ts_labeled(state, student,
+                                                     imgs, masks, sup_w,
+                                                     accum=accum)
             else:
-                state, loss, _ = seg_train(state, imgs, masks)
+                state, loss, _ = seg_train(state, imgs, masks,
+                                           accum=accum)
             tl.append(loss)
             if preemption.stop_requested():
                 break

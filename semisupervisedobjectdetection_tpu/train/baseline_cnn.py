@@ -75,29 +75,62 @@ def _model(meta) -> SegmentationCNN:
 @functools.partial(jax.jit,
                    static_argnames=("arch", "num_labels", "dtype",
                                     "encoder_depths", "groups",
-                                    "base_width"),
+                                    "base_width", "accum"),
                    donate_argnames=("state",))
 def cnn_train_step(state: TrainState, images: Array, masks: Array, rng,
                    arch: str, num_labels: int = 1, dtype: str = "float32",
                    encoder_depths=(3, 4, 23, 3), groups: int = 32,
-                   base_width: int = 8):
+                   base_width: int = 8, accum: int = 1):
     meta = {"arch": arch, "num_labels": num_labels, "dtype": dtype,
             "encoder_depths": encoder_depths, "groups": groups,
             "base_width": base_width}
     model = _model(meta)
 
-    def loss_fn(params):
-        variables = {"params": params, "batch_stats": state.batch_stats}
-        logits, mutated = model.apply(variables, images, train=True,
-                                      mutable=["batch_stats"],
-                                      rngs={"dropout": rng})
-        pred = logits[..., 0] if num_labels == 1 else logits
-        # dice with sigmoid activation applied inside the loss (`:86`)
-        loss = losses.dice_loss(jax.nn.sigmoid(pred), masks)
-        return loss, (pred, mutated["batch_stats"])
+    def loss_grad(params, stats, im, mk, r):
+        def loss_fn(p):
+            variables = {"params": p, "batch_stats": stats}
+            logits, mutated = model.apply(variables, im, train=True,
+                                          mutable=["batch_stats"],
+                                          rngs={"dropout": r})
+            pred = logits[..., 0] if num_labels == 1 else logits
+            # dice with sigmoid activation applied inside the loss (`:86`)
+            loss = losses.dice_loss(jax.nn.sigmoid(pred), mk)
+            return loss, (pred, mutated["batch_stats"])
 
-    (loss, (pred, new_stats)), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(state.params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    if accum > 1:
+        # gradient accumulation: microbatches scanned via the shared
+        # helper (mean grads/loss, one norm-clipped Adam step, BN stats
+        # threaded sequentially) — standard accum semantics, no reference
+        # counterpart (the baseline script is single-GPU batch-bound)
+        from semisupervisedobjectdetection_tpu.train.common import (
+            accumulate_microbatches,
+        )
+
+        b = images.shape[0]
+        if b % accum:
+            raise ValueError(f"batch {b} not divisible by accum={accum}")
+        mb = b // accum
+        xs = (images.reshape(accum, mb, *images.shape[1:]),
+              masks.reshape(accum, mb, *masks.shape[1:]),
+              jax.random.split(rng, accum))
+
+        def micro(stats, im, mk, r):
+            (loss, (pred, new_stats)), grads = loss_grad(
+                state.params, stats, im, mk, r)
+            return grads, new_stats, dict(loss=loss), pred
+
+        gsum, new_stats, sums, preds = accumulate_microbatches(
+            micro, state.params, state.batch_stats,
+            dict(loss=jnp.zeros(())), xs)
+        grads = jax.tree.map(lambda g: g / accum, gsum)
+        loss = sums["loss"] / accum
+        pred = preds.reshape(b, *preds.shape[2:])
+    else:
+        (loss, (pred, new_stats)), grads = loss_grad(
+            state.params, state.batch_stats, images, masks, rng)
+
     state = state.apply_gradients(grads, loss)
     state = state.replace(batch_stats=new_stats)
     return state, loss, jax.nn.sigmoid(pred)

@@ -56,7 +56,10 @@ import jax.numpy as jnp
 from semisupervisedobjectdetection_tpu.core.config import MiTConfig
 from semisupervisedobjectdetection_tpu import losses
 from semisupervisedobjectdetection_tpu.train import pseudo
-from semisupervisedobjectdetection_tpu.train.common import forward_masks
+from semisupervisedobjectdetection_tpu.train.common import (
+    accumulate_microbatches,
+    forward_masks,
+)
 from semisupervisedobjectdetection_tpu.train.state import TrainState
 
 Array = jax.Array
@@ -72,7 +75,7 @@ class PseudoStepOut(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "threshold",
                                              "confident_threshold",
-                                             "train_mode"),
+                                             "train_mode", "accum"),
                    donate_argnames=("teacher_state",))
 def pseudo_label_step(teacher_state: TrainState, images: Array,
                       update_teacher: Array, cfg: MiTConfig,
@@ -80,9 +83,19 @@ def pseudo_label_step(teacher_state: TrainState, images: Array,
                       confident_threshold: float =
                       pseudo.CONFIDENT_THRESHOLD,
                       train_mode: bool = False,
-                      rng: Array | None = None) -> PseudoStepOut:
+                      rng: Array | None = None,
+                      accum: int = 1) -> PseudoStepOut:
     """Phase A: pseudo-label an unlabeled batch; optionally self-train the
-    teacher on the confident samples (`:80-97`)."""
+    teacher on the confident samples (`:80-97`).
+
+    `accum > 1` scans microbatches for gradient accumulation (see
+    `_pseudo_accum`) — EXACT: the pseudo loss is linear in per-sample dice
+    (sum over kept / kept count), so summing per-sample-dice gradients and
+    dividing by the pooled kept count reproduces the full-batch gradient."""
+    if accum > 1:
+        return _pseudo_accum(teacher_state, images, update_teacher, cfg,
+                             threshold, confident_threshold, train_mode,
+                             rng, accum)
 
     def loss_fn(params):
         variables = {"params": params}
@@ -104,6 +117,69 @@ def pseudo_label_step(teacher_state: TrainState, images: Array,
         new_state = new_state.replace(batch_stats=new_stats)
     return PseudoStepOut(new_state, loss, labels.n_kept,
                          labels.pseudo_mask, labels.keep)
+
+
+def _pseudo_accum(teacher_state: TrainState, images: Array,
+                  update_teacher: Array, cfg: MiTConfig, threshold: float,
+                  confident_threshold: float, train_mode: bool,
+                  rng, accum: int) -> PseudoStepOut:
+    """Gradient-accumulated phase A: microbatches scanned inside the one
+    jitted step (peak activation memory of a single microbatch).
+
+    Each microbatch differentiates the UNDIVIDED kept-sample dice sum
+    (`loss * n_kept`, gated to 0 when nothing is kept so the scan never
+    touches the NaN branch); the summed gradients divided by the POOLED
+    kept count equal the full-batch `pseudo_label_step` gradient exactly
+    (the reference loss at `segFormer_semi_teacherstudent_main.py:47-56`
+    is sum-over-kept / kept-count). BN stats thread sequentially through
+    the scan carry in train mode."""
+    b = images.shape[0]
+    if b % accum:
+        raise ValueError(f"unlabeled batch {b} not divisible by "
+                         f"accum={accum}")
+    mb = b // accum
+    use_rng = rng is not None
+    keys = (jax.random.split(rng, accum) if use_rng
+            else jnp.zeros((accum,), jnp.uint32))
+    xs = (images.reshape(accum, mb, *images.shape[1:]), keys)
+
+    def micro(stats, i_mb, k):
+        def psum_fn(params):
+            variables = {"params": params}
+            if stats:
+                variables["batch_stats"] = stats
+            soft, _, new_stats = forward_masks(
+                cfg, variables, i_mb, train_mode=train_mode,
+                rng=k if use_rng else None)
+            labels = pseudo.threshold_pseudo_masks(
+                soft, threshold, confident_threshold,
+                allow_throw_sample=True)
+            # undivided kept dice sum; the kept==0 NaN convention
+            # re-applies on the pooled count after the scan
+            psum = jnp.where(labels.n_kept > 0,
+                             labels.loss * labels.n_kept, 0.0)
+            return psum, (labels, new_stats)
+
+        (psum, (labels, new_stats)), g = jax.value_and_grad(
+            psum_fn, has_aux=True)(teacher_state.params)
+        sums = dict(psum=psum, kept=labels.n_kept)
+        return g, new_stats, sums, (labels.pseudo_mask, labels.keep)
+
+    z = jnp.zeros(())
+    gsum, new_stats, sums, (p_masks, keeps) = accumulate_microbatches(
+        micro, teacher_state.params, teacher_state.batch_stats,
+        dict(psum=z, kept=z), xs)
+    n_kept = sums["kept"]
+    grads = jax.tree.map(lambda g: g / jnp.maximum(n_kept, 1.0), gsum)
+    loss = jnp.where(n_kept > 0, sums["psum"] / jnp.maximum(n_kept, 1.0),
+                     jnp.nan)
+    new_state = teacher_state.apply_gradients(grads, loss,
+                                              enable=update_teacher)
+    if train_mode and new_stats:
+        new_state = new_state.replace(batch_stats=new_stats)
+    return PseudoStepOut(new_state, loss, n_kept,
+                         p_masks.reshape(b, *p_masks.shape[2:]),
+                         keeps.reshape(b))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "threshold",
@@ -144,7 +220,8 @@ class LabeledStepOut(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "denoise_label",
-                                             "threshold", "train_mode"),
+                                             "threshold", "train_mode",
+                                             "accum"),
                    donate_argnames=("teacher_state", "student_state"))
 def labeled_step(teacher_state: TrainState, student_state: TrainState,
                  images: Array, ground_truth: Array,
@@ -152,8 +229,16 @@ def labeled_step(teacher_state: TrainState, student_state: TrainState,
                  denoise_label: bool = True,
                  threshold: float = pseudo.PSEUDO_MASK_THRESHOLD,
                  train_mode: bool = False,
-                 rng: Array | None = None) -> LabeledStepOut:
-    """Phase B: one labeled batch updates BOTH models (`:99-129`)."""
+                 rng: Array | None = None,
+                 accum: int = 1) -> LabeledStepOut:
+    """Phase B: one labeled batch updates BOTH models (`:99-129`).
+    `accum > 1` scans microbatches for gradient accumulation (see
+    `_labeled_accum`)."""
+    if accum > 1:
+        return _labeled_accum(teacher_state, student_state, images,
+                              ground_truth, supervise_weight, cfg,
+                              denoise_label, threshold, train_mode, rng,
+                              accum)
     t_rng = s_rng = None
     if rng is not None:
         t_rng, s_rng = jax.random.split(rng)
@@ -216,6 +301,103 @@ def labeled_step(teacher_state: TrainState, student_state: TrainState,
         student_state = student_state.replace(batch_stats=s_stats)
 
     return LabeledStepOut(teacher_state, student_state, total, teacher_loss,
+                          sup, self_sup)
+
+
+def _labeled_accum(teacher_state: TrainState, student_state: TrainState,
+                   images: Array, ground_truth: Array,
+                   supervise_weight: Array, cfg: MiTConfig,
+                   denoise_label: bool, threshold: float, train_mode: bool,
+                   rng, accum: int) -> LabeledStepOut:
+    """Gradient-accumulated phase B: both models' microbatch gradients are
+    summed inside ONE `lax.scan` (peak activation memory of a single
+    microbatch fwd+bwd — the lever that lets the two-gradient-model loop
+    escape the OOMs that cap it at unroll 2 / 512² batches), then one Adam
+    step per model on the averaged gradients.
+
+    Semantics match the unfused `labeled_step` composition: every
+    microbatch's teacher mask comes from the PRE-update teacher params
+    (the full-batch step also builds the student target before the teacher
+    update), dice losses follow the standard mean-of-microbatch
+    accumulation convention (dice is batch-nonlinear), NaN-skip gating
+    applies per model on its mean loss, and BN stats thread sequentially
+    per model through the scan carry in train mode."""
+    b = images.shape[0]
+    if b % accum:
+        raise ValueError(f"labeled batch {b} not divisible by "
+                         f"accum={accum}")
+    mb = b // accum
+    use_rng = rng is not None
+    keys = (jax.random.split(rng, accum) if use_rng
+            else jnp.zeros((accum,), jnp.uint32))
+    xs = (images.reshape(accum, mb, *images.shape[1:]),
+          ground_truth.reshape(accum, mb, *ground_truth.shape[1:]),
+          keys)
+    both_params = {"t": teacher_state.params, "s": student_state.params}
+
+    def micro(stats, i_mb, g_mb, k):
+        t_rng = s_rng = None
+        if use_rng:
+            t_rng, s_rng = jax.random.split(k)
+
+        def teacher_loss_fn(params):
+            v = {"params": params}
+            if stats["t"]:
+                v["batch_stats"] = stats["t"]
+            pred, _, t_stats = forward_masks(cfg, v, i_mb,
+                                             train_mode=train_mode,
+                                             rng=t_rng)
+            if denoise_label:
+                mask = pseudo.denoise_labels(
+                    jax.lax.stop_gradient(pred), g_mb, threshold)
+                loss = losses.dice_loss(pred, mask)
+            else:
+                loss = losses.dice_loss(pred, g_mb)
+                mask = jax.lax.stop_gradient(pred)
+            return loss, (mask, t_stats)
+
+        (t_loss, (teacher_mask, t_stats)), t_g = jax.value_and_grad(
+            teacher_loss_fn, has_aux=True)(both_params["t"])
+
+        def student_loss_fn(params):
+            v = {"params": params}
+            if stats["s"]:
+                v["batch_stats"] = stats["s"]
+            pred, _, s_stats = forward_masks(cfg, v, i_mb,
+                                             train_mode=train_mode,
+                                             rng=s_rng)
+            sup = losses.dice_loss(pred, g_mb)
+            self_sup = losses.dice_loss(pred, teacher_mask)
+            total = (supervise_weight * sup
+                     + (1.0 - supervise_weight) * self_sup)
+            return total, (sup, self_sup, s_stats)
+
+        (total, (sup, self_sup, s_stats)), s_g = jax.value_and_grad(
+            student_loss_fn, has_aux=True)(both_params["s"])
+        new_stats = {"t": t_stats if t_stats is not None else stats["t"],
+                     "s": s_stats if s_stats is not None else stats["s"]}
+        sums = dict(t_loss=t_loss, total=total, sup=sup,
+                    self_sup=self_sup)
+        return {"t": t_g, "s": s_g}, new_stats, sums, jnp.zeros(())
+
+    z = jnp.zeros(())
+    gsum, stats, sums, _ = accumulate_microbatches(
+        micro, both_params,
+        {"t": teacher_state.batch_stats, "s": student_state.batch_stats},
+        dict(t_loss=z, total=z, sup=z, self_sup=z), xs)
+    t_loss, total = sums["t_loss"] / accum, sums["total"] / accum
+    sup, self_sup = sums["sup"] / accum, sums["self_sup"] / accum
+
+    teacher_state = teacher_state.apply_gradients(
+        jax.tree.map(lambda g: g / accum, gsum["t"]), t_loss)
+    student_state = student_state.apply_gradients(
+        jax.tree.map(lambda g: g / accum, gsum["s"]), total)
+    if train_mode:
+        if stats["t"]:
+            teacher_state = teacher_state.replace(batch_stats=stats["t"])
+        if stats["s"]:
+            student_state = student_state.replace(batch_stats=stats["s"])
+    return LabeledStepOut(teacher_state, student_state, total, t_loss,
                           sup, self_sup)
 
 

@@ -270,6 +270,296 @@ def test_ema_accum_pseudo_stats_and_student_update():
             err_msg=f"teacher EMA mismatch at {jax.tree_util.keystr(kp)}")
 
 
+def test_ts_pseudo_accum_exact_vs_full_batch():
+    """Phase-A accumulation (`train/teacher_student.py::_pseudo_accum`) is
+    EXACT: the pseudo loss is (sum of kept per-sample dice)/kept-count, so
+    summed microbatch gradients of the undivided dice sum, divided by the
+    pooled kept count, equal the full-batch gradient. Verified against
+    both the accum=1 step's outputs and a hand-accumulated oracle."""
+    from semisupervisedobjectdetection_tpu.train import pseudo as P
+    from semisupervisedobjectdetection_tpu.train.teacher_student import (
+        pseudo_label_step,
+    )
+
+    imgs, _ = _data(b=4)
+    variables = jax.jit(SegFormer(TINY).init)(jax.random.PRNGKey(0),
+                                              imgs[:1])
+    # confident_threshold=0: a fresh model predicts ~0.5 everywhere, so the
+    # reference confidence gate would keep nothing and NaN-skip the update
+    kw = dict(threshold=0.7, confident_threshold=0.0)
+
+    t1 = _fresh_state(variables)
+    out1 = pseudo_label_step(t1, imgs, jnp.asarray(True), TINY, **kw)
+    t2 = _fresh_state(variables)
+    out2 = pseudo_label_step(t2, imgs, jnp.asarray(True), TINY, **kw,
+                             accum=2)
+
+    np.testing.assert_allclose(float(out2.n_kept), float(out1.n_kept))
+    np.testing.assert_allclose(float(out2.loss), float(out1.loss),
+                               rtol=1e-5, atol=1e-7)
+    # binarization at 0.7 can flip isolated boundary pixels between batch
+    # tilings; bound the disagreement instead of exact equality
+    flips = np.mean(np.asarray(out2.pseudo_mask)
+                    != np.asarray(out1.pseudo_mask))
+    assert flips < 1e-3, flips
+    assert out2.pseudo_mask.shape[0] == 4 and out2.keep.shape == (4,)
+
+    # hand-accumulated oracle: grads of the undivided kept dice sum per
+    # microbatch, pooled kept-count division
+    def psum_fn(params, im):
+        soft, _, _ = forward_masks(
+            TINY, {"params": params,
+                   "batch_stats": variables["batch_stats"]},
+            im, train_mode=False)
+        labels = P.threshold_pseudo_masks(soft, 0.7, 0.0)
+        return jnp.where(labels.n_kept > 0,
+                         labels.loss * labels.n_kept, 0.0), labels.n_kept
+
+    gfn = jax.jit(jax.value_and_grad(psum_fn, has_aux=True))
+    (_, k0), g0 = gfn(variables["params"], imgs[:2])
+    (_, k1), g1 = gfn(variables["params"], imgs[2:])
+    tot = max(float(k0 + k1), 1.0)
+    want = jax.tree.map(lambda a, b: (a + b) / tot, g0, g1)
+    oracle = _fresh_state(variables)
+    oracle = oracle.apply_gradients(want, jnp.zeros(()))
+
+    checked = 0
+    for (kp, a), b, g in zip(
+            jax.tree_util.tree_flatten_with_path(oracle.params)[0],
+            jax.tree.leaves(out2.teacher_state.params),
+            jax.tree.leaves(want)):
+        sel = np.abs(np.asarray(g)) > 1e-6
+        checked += int(sel.sum())
+        np.testing.assert_allclose(
+            np.asarray(a)[sel], np.asarray(b)[sel], rtol=2e-5, atol=2e-6,
+            err_msg=f"teacher param mismatch at {jax.tree_util.keystr(kp)}")
+    assert checked > 1000
+
+
+def test_ts_labeled_accum_matches_manual_oracle():
+    """Phase-B accumulation (`train/teacher_student.py::_labeled_accum`):
+    BOTH models' updates equal the hand-accumulated oracle — mean of the
+    per-microbatch grads, the student's target being each microbatch's
+    PRE-update teacher mask (the full-batch step's convention too)."""
+    from semisupervisedobjectdetection_tpu.train import pseudo as P
+    from semisupervisedobjectdetection_tpu.train.teacher_student import (
+        labeled_step,
+    )
+
+    imgs, masks = _data(b=4)
+    variables = jax.jit(SegFormer(TINY).init)(jax.random.PRNGKey(0),
+                                              imgs[:1])
+    sup_w = jnp.asarray(0.8)
+
+    def t_grad(im, mk):
+        def loss_fn(params):
+            pred, _, _ = forward_masks(
+                TINY, {"params": params,
+                       "batch_stats": variables["batch_stats"]},
+                im, train_mode=False)
+            mask = P.denoise_labels(jax.lax.stop_gradient(pred), mk)
+            return losses.dice_loss(pred, mask), mask
+
+        return jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(
+            variables["params"])
+
+    def s_grad(im, mk, teacher_mask):
+        def loss_fn(params):
+            pred, _, _ = forward_masks(
+                TINY, {"params": params,
+                       "batch_stats": variables["batch_stats"]},
+                im, train_mode=False)
+            return (sup_w * losses.dice_loss(pred, mk)
+                    + (1.0 - sup_w) * losses.dice_loss(pred, teacher_mask))
+
+        return jax.jit(jax.grad(loss_fn))(variables["params"])
+
+    (tl0, m0), tg0 = t_grad(imgs[:2], masks[:2])
+    (tl1, m1), tg1 = t_grad(imgs[2:], masks[2:])
+    want_t = jax.tree.map(lambda a, b: (a + b) / 2.0, tg0, tg1)
+    sg0 = s_grad(imgs[:2], masks[:2], m0)
+    sg1 = s_grad(imgs[2:], masks[2:], m1)
+    want_s = jax.tree.map(lambda a, b: (a + b) / 2.0, sg0, sg1)
+
+    oracle_t = _fresh_state(variables)
+    oracle_t = oracle_t.apply_gradients(want_t, jnp.zeros(()))
+    oracle_s = _fresh_state(variables)
+    oracle_s = oracle_s.apply_gradients(want_s, jnp.zeros(()))
+
+    t, s = _fresh_state(variables), _fresh_state(variables)
+    out = labeled_step(t, s, imgs, masks, sup_w, TINY, accum=2)
+    np.testing.assert_allclose(
+        float(out.teacher_loss), (float(tl0) + float(tl1)) / 2.0,
+        rtol=1e-5, atol=1e-7)
+
+    for name, oracle, got, wg in (
+            ("teacher", oracle_t, out.teacher_state, want_t),
+            ("student", oracle_s, out.student_state, want_s)):
+        checked = 0
+        for (kp, a), b, g in zip(
+                jax.tree_util.tree_flatten_with_path(oracle.params)[0],
+                jax.tree.leaves(got.params), jax.tree.leaves(wg)):
+            sel = np.abs(np.asarray(g)) > 1e-6
+            checked += int(sel.sum())
+            np.testing.assert_allclose(
+                np.asarray(a)[sel], np.asarray(b)[sel],
+                rtol=2e-5, atol=2e-6,
+                err_msg=f"{name} param mismatch at "
+                        f"{jax.tree_util.keystr(kp)}")
+        assert checked > 1000, name
+
+    import pytest
+
+    t, s = _fresh_state(variables), _fresh_state(variables)
+    with pytest.raises(ValueError, match="not divisible"):
+        labeled_step(t, s, imgs, masks, sup_w, TINY, accum=3)
+
+
+def test_cnn_accum_matches_manual_oracle():
+    """CNN-baseline accumulation (`train/baseline_cnn.py::cnn_train_step`
+    accum=N): mean of the microbatch grads with BN stats threaded
+    sequentially, ONE norm-clipped (35) Adam step."""
+    from semisupervisedobjectdetection_tpu.models.cnn import (
+        SegmentationCNN,
+    )
+    from semisupervisedobjectdetection_tpu.train.baseline_cnn import (
+        cnn_train_step,
+        create_cnn_state,
+    )
+
+    arch = "linknet"
+    rng = np.random.default_rng(2)
+    imgs = jnp.asarray(rng.uniform(0, 1, (4, 56, 56, 3)), jnp.float32)
+    masks = jnp.asarray(rng.uniform(0, 1, (4, 56, 56)) > 0.5, jnp.float32)
+    tc = TrainConfig(lr=1e-3)
+
+    def fresh():
+        return create_cnn_state(arch, tc, jax.random.PRNGKey(0),
+                                input_hw=(56, 56))[0]
+
+    model = SegmentationCNN(arch=arch)
+    base = fresh()
+
+    def loss_fn(params, stats, im, mk, r):
+        logits, mutated = model.apply(
+            {"params": params, "batch_stats": stats}, im, train=True,
+            mutable=["batch_stats"], rngs={"dropout": r})
+        return (losses.dice_loss(jax.nn.sigmoid(logits[..., 0]), mk),
+                mutated["batch_stats"])
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    keys = jax.random.split(jax.random.PRNGKey(1), 2)
+    (l0, stats), g0 = grad_fn(base.params, base.batch_stats, imgs[:2],
+                              masks[:2], keys[0])
+    (l1, stats), g1 = grad_fn(base.params, stats, imgs[2:], masks[2:],
+                              keys[1])
+    want = jax.tree.map(lambda a, b: (a + b) / 2.0, g0, g1)
+    oracle = fresh()
+    oracle = oracle.apply_gradients(want, jnp.zeros(()))
+
+    state = fresh()
+    state, loss, pred = cnn_train_step(state, imgs, masks,
+                                       jax.random.PRNGKey(1), arch,
+                                       accum=2)
+    assert pred.shape == (4, 56, 56)
+    np.testing.assert_allclose(float(loss), (float(l0) + float(l1)) / 2.0,
+                               rtol=1e-5, atol=1e-6)
+    checked = 0
+    # looser than the SegFormer accum tests: clip_by_global_norm(35)
+    # rescales EVERY element by a norm whose fp reduce order differs
+    # between the scan and the oracle, so tiny relative drift is global
+    # (observed max 1.6e-4 rel / 6e-6 abs; a wrong update would be ~lr)
+    for (kp, a), b, g in zip(
+            jax.tree_util.tree_flatten_with_path(oracle.params)[0],
+            jax.tree.leaves(state.params), jax.tree.leaves(want)):
+        sel = np.abs(np.asarray(g)) > 1e-6
+        checked += int(sel.sum())
+        np.testing.assert_allclose(
+            np.asarray(a)[sel], np.asarray(b)[sel], rtol=5e-4, atol=2e-5,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(kp)}")
+    assert checked > 1000
+    for (kp, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(stats)[0],
+            jax.tree.leaves(state.batch_stats)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6,
+            err_msg=f"batch_stats mismatch at {jax.tree_util.keystr(kp)}")
+
+
+def test_vit_steps_accum():
+    """ViT pipeline accumulation (`train/vit_seg.py::make_vit_steps`):
+    deterministic forwards (no BN/dropout) make accum=N equal the mean of
+    microbatch grads; the pseudo step pools kept counts exactly (matches
+    accum=1); the ts step's student targets each microbatch's pre-update
+    teacher prediction."""
+    from semisupervisedobjectdetection_tpu.train.vit_seg import (
+        build_vit_seg,
+        create_vit_state,
+        make_vit_steps,
+    )
+
+    rng = np.random.default_rng(4)
+    imgs = jnp.asarray(rng.uniform(0, 1, (4, 28, 28, 3)), jnp.float32)
+    masks = jnp.asarray(rng.uniform(0, 1, (4, 28, 28)) > 0.5, jnp.float32)
+    model = build_vit_seg(img_size=28, patch_size=14, variant="small",
+                          depth=1)
+    tc = TrainConfig(lr=1e-3)
+
+    def fresh():
+        return create_vit_state(model, tc, jax.random.PRNGKey(0),
+                                img_size=28)
+
+    seg_train, _, ae_train, pseudo_step, ts_labeled = make_vit_steps(model)
+    base = fresh()
+
+    # seg: accum=2 equals the hand-accumulated oracle
+    def loss_fn(params, im, mk):
+        out, _ = model.apply({"params": params}, im)
+        return losses.dice_loss(jax.nn.sigmoid(out[..., 0]), mk)
+
+    g0 = jax.jit(jax.grad(loss_fn))(base.params, imgs[:2], masks[:2])
+    g1 = jax.jit(jax.grad(loss_fn))(base.params, imgs[2:], masks[2:])
+    want = jax.tree.map(lambda a, b: (a + b) / 2.0, g0, g1)
+    oracle = fresh().apply_gradients(want, jnp.zeros(()))
+    got, loss, pred = seg_train(fresh(), imgs, masks, accum=2)
+    assert pred.shape == (4, 28, 28) and np.isfinite(float(loss))
+    checked = 0
+    for (kp, a), b, g in zip(
+            jax.tree_util.tree_flatten_with_path(oracle.params)[0],
+            jax.tree.leaves(got.params), jax.tree.leaves(want)):
+        sel = np.abs(np.asarray(g)) > 1e-6
+        checked += int(sel.sum())
+        np.testing.assert_allclose(
+            np.asarray(a)[sel], np.asarray(b)[sel], rtol=2e-5, atol=2e-6,
+            err_msg=f"seg param mismatch at {jax.tree_util.keystr(kp)}")
+    assert checked > 500
+
+    # pseudo: exact pooled-kept accumulation matches the full-batch step
+    s1, l1, lab1 = pseudo_step(fresh(), imgs, jnp.asarray(True))
+    s2, l2, lab2 = pseudo_step(fresh(), imgs, jnp.asarray(True), accum=2)
+    np.testing.assert_allclose(float(lab2.n_kept), float(lab1.n_kept))
+    assert lab2.pseudo_mask.shape == lab1.pseudo_mask.shape
+    if np.isfinite(float(l1)):
+        np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5,
+                                   atol=1e-7)
+
+    # ae + ts: run and shape-check (same _accum_grads machinery as seg)
+    cfg3 = build_vit_seg(img_size=28, patch_size=14, variant="small",
+                         depth=1, out_chans=3)
+    _, _, ae_train3, _, _ = make_vit_steps(cfg3)
+    st3 = create_vit_state(cfg3, tc, jax.random.PRNGKey(0), img_size=28)
+    st3, ael, recon = ae_train3(st3, imgs, accum=2)
+    assert recon.shape[0] == 4 and np.isfinite(float(ael))
+    t, s, sl, tl = ts_labeled(fresh(), fresh(), imgs, masks,
+                              jnp.asarray(0.8), accum=2)
+    assert np.isfinite(float(sl)) and np.isfinite(float(tl))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        seg_train(fresh(), imgs, masks, accum=3)
+
+
 def test_cli_grad_accum_fail_fast():
     """`cli.common.check_grad_accum`: a --grad-accum that cannot divide
     the effective train batch must die at startup with a clear message,
