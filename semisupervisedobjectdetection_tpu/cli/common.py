@@ -424,8 +424,9 @@ def warn_grad_accum_ignored(args, loop_name: str) -> None:
     at full batch memory (the flag's usual motivation is escaping OOM)."""
     if getattr(args, "grad_accum", 1) > 1:
         print(f"WARNING: --grad-accum is not implemented for the "
-              f"{loop_name} and is ignored (it applies to the "
-              f"supervised/autoencoder/transfer/teacher-student CLIs "
+              f"{loop_name} and is ignored (it applies to all other "
+              f"training CLIs: supervised/autoencoder/transfer/"
+              f"CNN-baseline/ViT-pipeline, the teacher-student loop "
               f"and the EMA loop)")
 
 

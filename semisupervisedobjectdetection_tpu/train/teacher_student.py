@@ -321,7 +321,14 @@ def _labeled_accum(teacher_state: TrainState, student_state: TrainState,
     update), dice losses follow the standard mean-of-microbatch
     accumulation convention (dice is batch-nonlinear), NaN-skip gating
     applies per model on its mean loss, and BN stats thread sequentially
-    per model through the scan carry in train mode."""
+    per model through the scan carry in train mode.
+
+    Behavioral delta vs the reference NaN-skip quirk
+    (`models/SegFormerModel.py:160` skips per BATCH): gating on the mean
+    loss means ONE non-finite microbatch loss skips the whole
+    accumulated update for that model, where N sequential full-batch
+    steps would only skip the offending batch. Unreachable in practice
+    (dice losses are smoothed), documented for completeness."""
     b = images.shape[0]
     if b % accum:
         raise ValueError(f"labeled batch {b} not divisible by "
