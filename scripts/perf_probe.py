@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--what", default="train",
-                   choices=["fwd", "train", "semi", "dispatch", "dwmicro",
+                   choices=["fwd", "train", "semi", "dispatch",
                             "labeled", "stacked", "semistack", "ema"])
     p.add_argument("--remat", default="full")
     p.add_argument("--unroll", type=int, default=2)
@@ -43,7 +43,6 @@ def main() -> None:
     p.add_argument("--inner", type=int, default=4)
     p.add_argument("--gelu-exact", action="store_true")
     p.add_argument("--attn", default="xla")
-    p.add_argument("--dwconv", default="xla")
     p.add_argument("--trace", default="",
                    help="dump a jax profiler trace to this dir")
     args = p.parse_args()
@@ -90,40 +89,10 @@ def main() -> None:
                           "async_dispatch_ms": round(async_rt * 1e3, 3)}))
         return
 
-    if args.what == "dwmicro":
-        from semisupervisedobjectdetection_tpu.ops.dwconv import (
-            _xla_dwconv, dwconv3x3,
-        )
-        rng = np.random.default_rng(0)
-        out = {}
-        for (h, c) in [(32, 1280), (64, 512), (16, 2048)]:
-            x = jnp.asarray(rng.normal(size=(16, h * h, c)), jnp.bfloat16)
-            k = jnp.asarray(rng.normal(size=(3, 3, c)), jnp.bfloat16)
-            bias = jnp.zeros((c,), jnp.bfloat16)
-            cot = jnp.asarray(rng.normal(size=x.shape), jnp.bfloat16)
-            for label, fn in [("pallas", dwconv3x3), ("xla", _xla_dwconv)]:
-                fwd = jax.jit(lambda xx, kk, bb, f=fn: f(xx, kk, bb, h, h))
-                grad = jax.jit(jax.grad(
-                    lambda xx, kk, bb, f=fn: jnp.sum(
-                        f(xx, kk, bb, h, h).astype(jnp.float32) *
-                        cot.astype(jnp.float32)), argnums=(0, 1, 2)))
-                y = fwd(x, k, bias); float(jnp.sum(y.astype(jnp.float32)))
-                g = grad(x, k, bias); float(g[2][0])
-                for name, f2 in [("fwd", lambda: fwd(x, k, bias)),
-                                 ("grad", lambda: grad(x, k, bias))]:
-                    t0 = time.time()
-                    for _ in range(20):
-                        r = f2()
-                    r = jax.tree.leaves(r)[-1]
-                    float(jnp.sum(r.astype(jnp.float32)))
-                    out[f"{h}x{h}x{c}/{label}/{name}_us"] = round(
-                        (time.time() - t0) / 20 * 1e6)
-        print(json.dumps(out, indent=1))
-        return
 
     cfg = mit_b5(dtype="bfloat16", gelu_approx=not args.gelu_exact,
                  scan_unroll=args.unroll, remat=args.remat,
-                 attn_impl=args.attn, dwconv_impl=args.dwconv)
+                 attn_impl=args.attn)
     tc = TrainConfig()
     model = SegFormer(cfg)
     rng = np.random.default_rng(0)
@@ -222,7 +191,7 @@ def main() -> None:
     print(json.dumps({
         "what": args.what, "remat": args.remat, "unroll": args.unroll,
         "batch": args.batch, "gelu_exact": args.gelu_exact,
-        "dwconv": args.dwconv, "attn": args.attn,
+        "attn": args.attn,
         "step_ms": round(step_s * 1e3, 2),
         "compile_s": round(compile_s, 1),
         "times_ms": [round(t * 1e3, 1) for t in times],

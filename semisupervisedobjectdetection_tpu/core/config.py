@@ -64,11 +64,10 @@ class MiTConfig:
     # attention_dropout == 0 (the reference default).
     attn_impl: str = "xla"
 
-    # MixFFN depthwise-conv implementation: "xla" (NHWC conv; XLA inserts
-    # layout copies around it) or "pallas" (token-layout fused kernel with
-    # custom VJP, `ops/dwconv.py`; shapes that don't fit VMEM fall back to
-    # XLA automatically).
-    dwconv_impl: str = "xla"
+    # (The former `dwconv_impl` knob — token-layout Pallas dwconv and the
+    # whole-FFN fused kernel — was removed in round 5: both were measured
+    # dead ends vs XLA's native-MXU conv lowering; CLAUDE.md round-2
+    # notes keep the numbers.)
 
     # Whole-MixFFN dataflow: "xla" (dense/conv chain; under `tp_shard`
     # GSPMD inserts one all-reduce per layer) or "collective" (explicit

@@ -217,30 +217,9 @@ class EfficientSelfAttention(nn.Module):
         return out
 
 
-class TokenDWConv(nn.Module):
-    """3x3 depthwise conv on (B, N, C) tokens via the Pallas kernel
-    (`ops/dwconv.py`). Params mirror `nn.Conv`'s pytree exactly
-    ({kernel: (3,3,1,C), bias: (C,)}) so checkpoints/HF import are
-    interchangeable with the XLA path."""
-
-    features: int
-    dtype: Any
-
-    @nn.compact
-    def __call__(self, x: Array, h: int, w: int) -> Array:
-        from semisupervisedobjectdetection_tpu.ops.dwconv import dwconv3x3
-
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (3, 3, 1, self.features))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return dwconv3x3(x, kernel.reshape(3, 3, self.features)
-                         .astype(self.dtype),
-                         bias.astype(self.dtype), h, w)
-
-
 class _FFNParams(nn.Module):
     """Param holder matching nn.Dense/nn.Conv pytrees ({kernel, bias}) for
-    the fused-FFN path, so checkpoints are interchangeable with the
+    the collective-FFN path, so checkpoints are interchangeable with the
     unfused chain."""
 
     spec: Tuple   # (kernel_shape, kernel_init)
@@ -262,7 +241,6 @@ class MixFFN(nn.Module):
     hidden_dropout: float
     dtype: Any
     gelu_approx: bool = False
-    dwconv_impl: str = "xla"
     quant: str = "none"
     ffn_impl: str = "xla"
 
@@ -302,48 +280,23 @@ class MixFFN(nn.Module):
                     x, w1.astype(dt), b1.astype(dt), kd.astype(dt),
                     bk.astype(dt), w2.astype(dt), b2.astype(dt),
                     h, w, self.gelu_approx).astype(dt)
-        from semisupervisedobjectdetection_tpu.ops.fused_ffn import (
-            fused_ffn,
-            fused_fits,
-        )
-        # The fused branch reads raw f32/bf16 kernels and would silently
-        # misread an int8 snapshot's (kernel, kernel_scale) params — with
-        # quant active, fall through to the QDense chain below.
-        if (self.dwconv_impl == "fused" and self.quant == "none"
-                and fused_fits(h, w, c, self.mlp_hidden)):
-            # Whole-FFN fused Pallas kernels (ops/fused_ffn.py). Same param
-            # pytree as the unfused chain; dropout must be inactive (the
-            # reference's hidden_dropout is 0.0). Stages whose working set
-            # exceeds VMEM (fused_fits False, e.g. stage 1 at 512 input)
-            # fall through to the XLA chain below.
-            if self.hidden_dropout > 0.0 and not deterministic:
-                raise ValueError("dwconv_impl='fused' requires inactive "
-                                 "hidden dropout")
-            m = self.mlp_hidden
-            w1, b1 = _FFNParams(((c, m), dense_init), name="dense1")()
-            kd, bk = _FFNParams(((3, 3, 1, m),
-                                 nn.initializers.lecun_normal()),
-                                name="dwconv")()
-            w2, b2 = _FFNParams(((m, self.hidden_size), dense_init),
-                                name="dense2")()
-            dt = self.dtype
-            return fused_ffn(x, w1.astype(dt), b1.astype(dt),
-                             kd.reshape(3, 3, m).astype(dt),
-                             bk.astype(dt), w2.astype(dt), b2.astype(dt),
-                             h, w, self.gelu_approx).astype(dt)
+        # NOTE (round 5): the whole-FFN fused Pallas kernel
+        # (ops/fused_ffn.py) and the token-layout Pallas dwconv
+        # (ops/dwconv.py) were DELETED after two rounds of measurement:
+        # the fused step was a wash (184.97 vs 183.98 ms) with a standing
+        # Mosaic compile-service wedge hazard, and XLA's native-MXU conv
+        # beat the VPU shift-MAC kernel everywhere (CLAUDE.md round-2
+        # perf notes record the numbers). TPU convs belong on the MXU —
+        # the XLA chain below IS the fast path.
         Dense = _dense_cls(self.quant)
         x = Dense(self.mlp_hidden, dtype=self.dtype,
                   kernel_init=dense_init, name="dense1")(x)
         x = checkpoint_name(x, "ffn1")
-        if self.dwconv_impl == "pallas":
-            x = TokenDWConv(self.mlp_hidden, self.dtype,
-                            name="dwconv")(x, h, w)
-        else:
-            x = x.reshape(b, h, w, self.mlp_hidden)
-            x = nn.Conv(self.mlp_hidden, (3, 3), padding=[(1, 1), (1, 1)],
-                        feature_group_count=self.mlp_hidden,
-                        dtype=self.dtype, name="dwconv")(x)
-            x = x.reshape(b, h * w, self.mlp_hidden)
+        x = x.reshape(b, h, w, self.mlp_hidden)
+        x = nn.Conv(self.mlp_hidden, (3, 3), padding=[(1, 1), (1, 1)],
+                    feature_group_count=self.mlp_hidden,
+                    dtype=self.dtype, name="dwconv")(x)
+        x = x.reshape(b, h * w, self.mlp_hidden)
         x = checkpoint_name(x, "dwconv")
         x = nn.gelu(x, approximate=self.gelu_approx)
         x = checkpoint_name(x, "gelu")
@@ -378,7 +331,6 @@ class Block(nn.Module):
     deterministic: bool
     attn_impl: str = "xla"
     gelu_approx: bool = False
-    dwconv_impl: str = "xla"
     quant: str = "none"
     ffn_impl: str = "xla"
 
@@ -421,7 +373,7 @@ class Block(nn.Module):
         mlp_out = MixFFN(self.hidden_size, int(self.hidden_size *
                                                self.mlp_ratio),
                          self.hidden_dropout, self.dtype,
-                         self.gelu_approx, self.dwconv_impl, self.quant,
+                         self.gelu_approx, self.quant,
                          self.ffn_impl, name="mlp")(
             checkpoint_name(
                 nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
@@ -528,7 +480,7 @@ def _stage_body(mdl: nn.Module, cfg: MiTConfig, i: int, x: Array,
         c, cfg.num_heads[i], cfg.sr_ratios[i], cfg.mlp_ratio,
         cfg.attention_dropout, cfg.hidden_dropout,
         cfg.layer_norm_eps, dtype, deterministic,
-        cfg.attn_impl, cfg.gelu_approx, cfg.dwconv_impl,
+        cfg.attn_impl, cfg.gelu_approx,
         cfg.quant, cfg.ffn_impl, name=f"block_{i}")(
             (tokens.reshape(b, h, w, c), carried),
             (stage_dprs, prompt_per_layer, prompt_shared))

@@ -183,6 +183,16 @@ def ref_threshold_pseudo_masks(img, masks, threshold: float = 0.7,
     return None, None, confidence, losses / max(kept, 1) * float("nan")
 
 
+def freeze_encoder_blocks(ref, layers):
+    """`SegFormerModel.frozen_encoder(layers=[...])`
+    (`models/SegFormerModel.py:56-59`): requires_grad=False on
+    `encoder.block[i]` ONLY — the stage's patch embedding and final layer
+    norm stay trainable."""
+    for layer_id in layers:
+        for p in ref.segformer.encoder.block[layer_id].parameters():
+            p.requires_grad = False
+
+
 # ---------------------------------------------------------------- trainer
 class RefTrainer:
     """`models/SegFormerModel.py` training semantics around a modified
@@ -213,6 +223,35 @@ class RefTrainer:
         if mask is None:
             return pred
         return ref_dice_loss(pred, mask.to(torch.int64)), pred
+
+    def predict_ref(self, img, mask=None, isEval=True, use_loss="dice",
+                    output_cls_token=False):
+        """Full replica of `SegFormerModel.predict` (`:103-139`): the
+        eval()-inversion quirk, int64 mask cast, bilinear upsample,
+        sigmoid, loss dispatch (dice / mse-vs-RAW-logits / argmax), and
+        the forward's sigmoid(final-stage CLS) second return."""
+        import torch
+        import torch.nn.functional as F
+
+        if not isEval:
+            self.model.eval()
+        if mask is not None:
+            mask = mask.to(torch.int64)
+        out, cls_token = self.model(pixel_values=img)
+        up = F.interpolate(out.logits, size=img.shape[2:],
+                           mode="bilinear", align_corners=False)
+        pred = torch.sigmoid(up).squeeze(1)
+        if mask is None:
+            return pred
+        if use_loss == "dice":
+            loss = ref_dice_loss(pred, mask)
+        elif use_loss == "mse":
+            loss = ref_mse_loss(img, up)   # RAW logits (`:133`)
+        else:
+            loss = ref_dice_argmax_loss(pred, mask)
+        if output_cls_token:
+            return loss, pred, cls_token
+        return loss, pred
 
     def train_one_epoch(self, img, mask):
         self.model.train()

@@ -56,31 +56,6 @@ def test_remat_spec_list_too_short_raises():
     _remat_block("full,none,dots,full", stage=3)
 
 
-def test_fused_ffn_quant_falls_through_to_qdense():
-    """dwconv_impl='fused' + quant='int8' must not read raw int8 kernels
-    into the fused path; it falls through to the QDense chain and produces
-    masks close to the f32 model (ADVICE round 2, medium)."""
-    from semisupervisedobjectdetection_tpu.models.segformer import SegFormer
-    from semisupervisedobjectdetection_tpu.ops.quant import (
-        quantize_dense_params,
-    )
-
-    cfg = mit_b0(depths=(1, 1, 1, 1), hidden_sizes=(8, 16, 32, 64),
-                 num_heads=(1, 2, 4, 8), decoder_hidden=32)
-    x = jnp.asarray(np.random.default_rng(2).uniform(0, 1, (1, 64, 64, 3)),
-                    jnp.float32)
-    variables = jax.jit(SegFormer(cfg).init)(jax.random.PRNGKey(0), x)
-    ref_logits, _ = SegFormer(cfg).apply(variables, x)
-
-    qvars = {"params": quantize_dense_params(variables["params"]),
-             "batch_stats": variables["batch_stats"]}
-    qcfg = cfg.replace(quant="int8", dwconv_impl="fused")
-    logits, _ = SegFormer(qcfg).apply(qvars, x)
-    err = float(jnp.max(jnp.abs(logits.astype(jnp.float32)
-                                - ref_logits.astype(jnp.float32))))
-    assert err < 0.15, err
-
-
 def test_structural_rebuild_invalidates_int8_snapshot():
     from semisupervisedobjectdetection_tpu.api import SegFormerModel
 
