@@ -418,18 +418,6 @@ def preempt_exit(args, saves, epoch: int, *, tuning: bool = False):
     raise SystemExit(0)
 
 
-def warn_grad_accum_ignored(args, loop_name: str) -> None:
-    """--grad-accum is in the shared parser but only the single-gradient-
-    model steps implement it; say so loudly instead of silently training
-    at full batch memory (the flag's usual motivation is escaping OOM)."""
-    if getattr(args, "grad_accum", 1) > 1:
-        print(f"WARNING: --grad-accum is not implemented for the "
-              f"{loop_name} and is ignored (it applies to all other "
-              f"training CLIs: supervised/autoencoder/transfer/"
-              f"CNN-baseline/ViT-pipeline, the teacher-student loop "
-              f"and the EMA loop)")
-
-
 def make_loaders(dcfg: DataConfig, seed: int = 0,
                  flags=("train", "eval")) -> dict:
     out = {}

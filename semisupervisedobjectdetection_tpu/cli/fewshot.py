@@ -126,7 +126,23 @@ def main(argv=None):
               "share one _last checkpoint)")
         args.resume = False
     dcfg, tc = common.configs_from_args(args)
-    common.warn_grad_accum_ignored(args, "few-shot domain-prompting loops")
+    # --grad-accum (round 5): microbatch the category batches inside the
+    # jitted steps. Fail fast the way check_grad_accum does for the tile
+    # loaders — the few-shot loaders use few_shot_batch_size, not
+    # --batch-size.
+    accum = max(getattr(args, "grad_accum", 1), 1)
+    if accum > 1:
+        fsb = dcfg.few_shot_batch_size
+        if fsb % accum:
+            raise SystemExit(
+                f"--grad-accum {accum} does not divide the few-shot "
+                f"batch size {fsb} (DataConfig.few_shot_batch_size)")
+        if fsb // accum < 2 and (
+                args.mode == "ae" or args.cls_loss_weight > 0.0):
+            raise SystemExit(
+                f"--grad-accum {accum} leaves microbatches of "
+                f"{fsb // accum} < 2 samples; the intra-domain cosine "
+                f"loss pairs the first/second half of each microbatch")
     if args.labeled_classified:
         dcfg = dcfg.replace(labeled_classified=args.labeled_classified,
                             unlabeled_classified=args.unlabeled_classified)
@@ -203,6 +219,7 @@ def train_run(args, dcfg, tc, cfg, logger, eval_loaders, lab, unlab,
     the best eval loss (the tuning objective, ref `:387-396`).
     `save_model=False` (tuning) skips all checkpoint writes like the
     reference's `save_model=False`."""
+    accum = max(getattr(args, "grad_accum", 1), 1)  # validated in main()
     state = _build_state(args, dcfg, tc, cfg)
     rng = jax.random.PRNGKey(args.seed)
     pyrng = random.Random(args.seed)
@@ -251,7 +268,8 @@ def train_run(args, dcfg, tc, cfg, logger, eval_loaders, lab, unlab,
                 g12, _ = common.device_train_batch(r2, a2, None, dcfg)
                 g21, _ = common.device_train_batch(r3, b1, None, dcfg)
                 g22, _ = common.device_train_batch(r4, b2, None, dcfg)
-                out = fw.fewshot_ae_step(state, g11, g12, g21, g22, cfg)
+                out = fw.fewshot_ae_step(state, g11, g12, g21, g22, cfg,
+                                         accum=accum)
                 state = out.state
                 ep_losses.append(out.loss)
             else:
@@ -259,7 +277,8 @@ def train_run(args, dcfg, tc, cfg, logger, eval_loaders, lab, unlab,
                 i1, mm1 = common.device_train_batch(r1, a1, m1, dcfg)
                 i2, mm2 = common.device_train_batch(r2, a2, m2, dcfg)
                 out = fw.fewshot_seg_step(state, i1, mm1, i2, mm2, cfg,
-                                          args.cls_loss_weight)
+                                          args.cls_loss_weight,
+                                          accum=accum)
                 state = out.state
                 ep_losses.append(out.loss)
             if preemption.stop_requested():

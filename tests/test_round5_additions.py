@@ -1,0 +1,40 @@
+"""Round-5 additions: --grad-accum on the few-shot CLI (the last
+gradient loop without it) and the static cls_loss_weight fix.
+
+The jitted-step accumulation semantics are oracle-tested in
+test_grad_accum.py::test_fewshot_{seg,ae}_accum_*; these cover the CLI
+wiring + fail-fast validation.
+"""
+
+import os
+
+import pytest
+
+
+def test_fewshot_cli_grad_accum_seg_smoke(tmp_path, capsys):
+    from semisupervisedobjectdetection_tpu.cli import fewshot
+
+    fewshot.main([
+        "--synthetic", "--synthetic-n", "6", "--variant", "b0",
+        "--img-size", "64", "--batch-size", "2", "--dtype", "float32",
+        "--epochs", "1", "--mode", "seg", "--iterations", "2",
+        "--grad-accum", "2",
+        "--checkpoint-dir", str(tmp_path / "ck")])
+    out = capsys.readouterr().out
+    assert "eval" in out
+
+
+def test_fewshot_cli_grad_accum_ae_fails_fast_on_tiny_microbatch(
+        tmp_path):
+    # few_shot_batch_size is 2 (reference `config.py:40`); accum=2 would
+    # leave 1-sample microbatches, which the intra-domain cosine loss
+    # cannot pair — the CLI must refuse BEFORE compiling anything.
+    from semisupervisedobjectdetection_tpu.cli import fewshot
+
+    with pytest.raises(SystemExit, match="< 2 samples"):
+        fewshot.main([
+            "--synthetic", "--synthetic-n", "6", "--variant", "b0",
+            "--img-size", "64", "--batch-size", "2", "--dtype",
+            "float32", "--epochs", "1", "--mode", "ae",
+            "--iterations", "1", "--grad-accum", "2",
+            "--checkpoint-dir", str(tmp_path / "ck")])
