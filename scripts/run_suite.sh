@@ -19,8 +19,14 @@ T0=$(date +%s)
 
 # pyproject addopts already apply -n 4 --dist loadfile; bound the whole
 # run with coreutils timeout (pytest-timeout isn't installed here).
-timeout 10800 python -m pytest tests/ -q 2>&1 | tail -40 > "$TMP"
+# Keep every FAILED/ERROR line plus the tail — tail alone can cut the
+# short-summary list off (it did in the first r5 capture).
+FULL=$(mktemp)
+timeout "${SUITE_TIMEOUT:-12000}" python -m pytest tests/ -q -rf \
+  > "$FULL" 2>&1
 RC=$?
+{ grep -E "^(FAILED|ERROR)" "$FULL"; echo; tail -40 "$FULL"; } > "$TMP"
+rm -f "$FULL"
 T1=$(date +%s)
 
 {

@@ -617,79 +617,25 @@ def test_accum_api_and_cli_flag(tmp_path):
     assert np.isfinite(float(loss)) and pred.shape[0] == 4
 
 
-def test_fewshot_seg_accum_matches_manual_oracle():
-    """`fewshot_seg_step(accum=2)` == mean of the two microbatch pair
-    grads (the loss replicated by hand), ONE optimizer step. Eval-mode
-    forwards, so no BN threading — the comparison is tight."""
-    from semisupervisedobjectdetection_tpu.train.fewshot import (
-        fewshot_seg_step,
-    )
+def test_fewshot_accum_oracles_subprocess():
+    """Few-shot grad-accum oracles + the --grad-accum seg CLI smoke, in a
+    FRESH interpreter (tests/_fewshot_accum_main.py): these compile
+    several new executables, and new compiles inside long-lived xdist
+    workers trip the XLA:CPU compile-cache serializer SIGSEGV — two
+    workers died exactly here in the first round-5 full-suite runs
+    (CLAUDE.md hazard pattern)."""
+    import os
+    import subprocess
+    import sys
 
-    cfg = TINY.replace(cls_tokens=(1, 1, 1, 1))
-    imgs1, masks1 = _data(4, 64, seed=11)
-    imgs2, masks2 = _data(4, 64, seed=12)
-    variables = jax.jit(SegFormer(cfg).init)(jax.random.PRNGKey(0),
-                                             imgs1[:1])
-
-    def pair_loss(params, i1, m1, i2, m2):
-        v = {"params": params, "batch_stats": variables["batch_stats"]}
-        p1, _, _ = forward_masks(cfg, v, i1, train_mode=False)
-        p2, _, _ = forward_masks(cfg, v, i2, train_mode=False)
-        return (losses.dice_loss(p1, m1) + losses.dice_loss(p2, m2)) / 2.0
-
-    grad_fn = jax.jit(jax.value_and_grad(pair_loss))
-    l0, g0 = grad_fn(variables["params"], imgs1[:2], masks1[:2],
-                     imgs2[:2], masks2[:2])
-    l1, g1 = grad_fn(variables["params"], imgs1[2:], masks1[2:],
-                     imgs2[2:], masks2[2:])
-    want = jax.tree.map(lambda a, b: (a + b) / 2.0, g0, g1)
-    oracle = _fresh_state(variables)
-    oracle = oracle.apply_gradients(want, jnp.zeros(()))
-
-    state = _fresh_state(variables)
-    out = fewshot_seg_step(state, imgs1, masks1, imgs2, masks2, cfg,
-                           accum=2)
-    np.testing.assert_allclose(float(out.loss),
-                               (float(l0) + float(l1)) / 2.0,
-                               rtol=1e-5, atol=1e-6)
-    assert out.pred_1.shape == (4, 64, 64)
-    for a, b in zip(jax.tree.leaves(oracle.params),
-                    jax.tree.leaves(out.state.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=1e-6)
-
-
-def test_fewshot_ae_accum_recon_exact_and_guards():
-    """The AE accum path holds the reference MSE divisor at the FULL
-    batch's B*3, so the mean of microbatch recon losses equals the
-    accum=1 value exactly (the cosine terms follow the mean-of-microbatch
-    convention and may differ). Divisibility + microbatch>=2 fail fast."""
-    import pytest
-
-    from semisupervisedobjectdetection_tpu.train.fewshot import (
-        fewshot_ae_step,
-        fewshot_seg_step,
-    )
-
-    cfg = TINY.replace(cls_tokens=(1, 1, 1, 1), num_labels=3)
-    imgs = [_data(4, 64, seed=20 + i)[0] for i in range(4)]
-    variables = jax.jit(SegFormer(cfg).init)(jax.random.PRNGKey(0),
-                                             imgs[0][:1])
-
-    o1 = fewshot_ae_step(_fresh_state(variables), *imgs, cfg)
-    o2 = fewshot_ae_step(_fresh_state(variables), *imgs, cfg, accum=2)
-    np.testing.assert_allclose(np.asarray(o2.recon_losses),
-                               np.asarray(o1.recon_losses),
-                               rtol=1e-5, atol=1e-6)
-    assert np.isfinite(float(o2.loss))
-
-    with pytest.raises(ValueError, match="not divisible"):
-        fewshot_ae_step(_fresh_state(variables), *imgs, cfg, accum=3)
-    with pytest.raises(ValueError, match="< 2 samples"):
-        fewshot_ae_step(_fresh_state(variables), *imgs, cfg, accum=4)
-    cfg1 = TINY.replace(cls_tokens=(1, 1, 1, 1))
-    v1 = jax.jit(SegFormer(cfg1).init)(jax.random.PRNGKey(0), imgs[0][:1])
-    _, masks = _data(4, 64, seed=30)
-    with pytest.raises(ValueError, match="< 2 samples"):
-        fewshot_seg_step(_fresh_state(v1), imgs[0], masks, imgs[1], masks,
-                         cfg1, 0.5, accum=4)
+    script = os.path.join(os.path.dirname(__file__),
+                          "_fewshot_accum_main.py")
+    proc = subprocess.run([sys.executable, script], capture_output=True,
+                          text=True, timeout=3000)
+    assert proc.returncode == 0, (
+        f"fewshot accum body failed:\n{proc.stdout[-3000:]}\n"
+        f"{proc.stderr[-3000:]}")
+    for marker in ("fewshot-seg-accum-oracle-ok",
+                   "fewshot-ae-accum-guards-ok",
+                   "fewshot-cli-accum-smoke-ok"):
+        assert marker in proc.stdout, marker

@@ -1,27 +1,13 @@
 """Round-5 additions: --grad-accum on the few-shot CLI (the last
 gradient loop without it) and the static cls_loss_weight fix.
 
-The jitted-step accumulation semantics are oracle-tested in
-test_grad_accum.py::test_fewshot_{seg,ae}_accum_*; these cover the CLI
-wiring + fail-fast validation.
+The accumulation oracles + the seg CLI smoke run in a fresh interpreter
+(tests/_fewshot_accum_main.py via test_grad_accum.py — the compile-cache
+serializer hazard). Here: only the fail-fast path, which raises BEFORE
+any compile and is safe in-worker.
 """
 
-import os
-
 import pytest
-
-
-def test_fewshot_cli_grad_accum_seg_smoke(tmp_path, capsys):
-    from semisupervisedobjectdetection_tpu.cli import fewshot
-
-    fewshot.main([
-        "--synthetic", "--synthetic-n", "6", "--variant", "b0",
-        "--img-size", "64", "--batch-size", "2", "--dtype", "float32",
-        "--epochs", "1", "--mode", "seg", "--iterations", "2",
-        "--grad-accum", "2",
-        "--checkpoint-dir", str(tmp_path / "ck")])
-    out = capsys.readouterr().out
-    assert "eval" in out
 
 
 def test_fewshot_cli_grad_accum_ae_fails_fast_on_tiny_microbatch(
