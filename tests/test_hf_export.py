@@ -108,9 +108,9 @@ def test_exported_state_dict_drives_reference_oracle():
     """Gold interop check: load the export into the reference's own
     modified torch model and diff logits against our forward."""
     torch = pytest.importorskip("torch")
-    from tests.test_modified_parity import _load_reference_segformer
+    from _ref_oracle import load_reference_segformer
 
-    RefConfig, RefModel = _load_reference_segformer()
+    RefConfig, RefModel = load_reference_segformer()
     cfg = MiTConfig(**TINY)
     params, stats = _init(cfg)
     sd = export_torch_state_dict(cfg, params, stats)
